@@ -1,0 +1,28 @@
+from .model import (
+    ClipConfig,
+    VIT_B_32,
+    init_clip_params,
+    vit_forward,
+    encode_image,
+    encode_text,
+)
+from .tokenizer import ClipTokenizer, tokenize, default_tokenizer
+from .relevancy import gradcam, gradcam_jit, zeroshot_weights_from_features
+from .convert import convert_clip_state_dict, load_clip_checkpoint
+
+__all__ = [
+    "ClipConfig",
+    "VIT_B_32",
+    "init_clip_params",
+    "vit_forward",
+    "encode_image",
+    "encode_text",
+    "ClipTokenizer",
+    "tokenize",
+    "default_tokenizer",
+    "gradcam",
+    "gradcam_jit",
+    "zeroshot_weights_from_features",
+    "convert_clip_state_dict",
+    "load_clip_checkpoint",
+]

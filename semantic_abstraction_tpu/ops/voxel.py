@@ -1,0 +1,146 @@
+"""Voxel grid index math + point->voxel scatter reduction, pure JAX.
+
+TPU-native replacement for the reference's ``VirtualGrid`` + torch_scatter
+(reference: net.py:24-201). The scatter primitive — segment-reduce of N point
+features into flattened voxel bins — is THE voxelization op of the whole
+framework; here it is an XLA ``segment_max``/``segment_sum`` over
+batch-offset flattened indices instead of a CUDA extension.
+
+Semantics parity (reference file:line):
+- points_to_idxs    <- net.py:84-113  (truncating int cast, per-axis clamp)
+- flatten_idxs      <- net.py:115-133 (row-major strides over (B,)+grid)
+- idxs_to_points    <- net.py:158-183
+- grid_points       <- net.py:63-82
+- scatter_points    <- net.py:185-201; torch_scatter fills empty bins with 0
+  for both "max" and "mean" reductions, so empty voxels are zeros here too.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelGrid:
+    """World-coordinate <-> voxel-index mapping over axis-aligned bounds.
+
+    All configuration is static (hashable) so a ``VoxelGrid`` can be closed
+    over by jitted functions without retracing on value changes.
+    """
+
+    lower: Tuple[float, float, float]
+    upper: Tuple[float, float, float]
+    grid_shape: Tuple[int, int, int] = (32, 32, 32)
+
+    @classmethod
+    def from_bounds(cls, scene_bounds, grid_shape=(32, 32, 32)) -> "VoxelGrid":
+        scene_bounds = np.asarray(scene_bounds, dtype=np.float64)
+        return cls(
+            lower=tuple(float(v) for v in scene_bounds[0]),
+            upper=tuple(float(v) for v in scene_bounds[1]),
+            grid_shape=tuple(int(v) for v in grid_shape),
+        )
+
+    @property
+    def num_voxels(self) -> int:
+        return int(np.prod(self.grid_shape))
+
+    def _scales(self, dtype):
+        lc = jnp.asarray(self.lower, dtype=dtype)
+        uc = jnp.asarray(self.upper, dtype=dtype)
+        idx_scale = jnp.asarray(self.grid_shape, dtype=dtype) - 1
+        return lc, uc, idx_scale
+
+    def points_to_idxs(self, points: jax.Array, cast_to_int: bool = True) -> jax.Array:
+        """Map world points (..., 3) to (clamped) voxel indices.
+
+        With ``cast_to_int`` the float index is truncated toward zero before
+        the per-axis clamp to [0, dim-1] (matching torch's ``.to(int64)``);
+        without, the float index itself is clamped.
+        """
+        lc, uc, idx_scale = self._scales(points.dtype)
+        idx_f = (points - lc) * (idx_scale / (uc - lc))
+        hi = jnp.asarray(self.grid_shape, dtype=points.dtype) - 1
+        if cast_to_int:
+            idx = jnp.trunc(idx_f).astype(jnp.int32)
+            return jnp.clip(idx, 0, jnp.asarray(self.grid_shape, jnp.int32) - 1)
+        return jnp.clip(idx_f, 0.0, hi)
+
+    def flatten_idxs(self, idxs: jax.Array) -> jax.Array:
+        """Row-major flatten of (..., 3) voxel indices to scalar bin ids."""
+        gx, gy, gz = self.grid_shape
+        strides = jnp.asarray([gy * gz, gz, 1], dtype=idxs.dtype)
+        return (idxs * strides).sum(axis=-1)
+
+    def unflatten_idxs(self, flat_idxs: jax.Array) -> jax.Array:
+        gx, gy, gz = self.grid_shape
+        ix = flat_idxs // (gy * gz)
+        rem = flat_idxs % (gy * gz)
+        return jnp.stack([ix, rem // gz, rem % gz], axis=-1)
+
+    def idxs_to_points(self, idxs: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """Voxel indices (..., 3) to world coordinates of voxel centers."""
+        lc, uc, idx_scale = self._scales(dtype)
+        return idxs.astype(dtype) * ((uc - lc) / idx_scale) + lc
+
+    def grid_points(self, dtype=jnp.float32) -> jax.Array:
+        """(gx, gy, gz, 3) world coordinates of every voxel."""
+        axes = [jnp.arange(d) for d in self.grid_shape]
+        idxs = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        return self.idxs_to_points(idxs, dtype=dtype)
+
+    def scatter_points(
+        self,
+        xyz_pts: jax.Array,
+        feature_pts: jax.Array,
+        reduce_method: str = "max",
+        valid_mask: jax.Array | None = None,
+    ) -> jax.Array:
+        """Scatter (B, N, C) point features into a (B, C, gx, gy, gz) volume.
+
+        ``reduce_method`` is "max" or "mean". Voxels that receive no points
+        are zero (torch_scatter convention). ``valid_mask`` (B, N) optionally
+        drops points from the reduction entirely (used for padded inputs; the
+        reference instead pre-filters on host).
+        """
+        if xyz_pts.ndim == 2:
+            xyz_pts = xyz_pts[None]
+            feature_pts = feature_pts[None]
+        batch, num_pts, channels = feature_pts.shape
+        nv = self.num_voxels
+        idxs = self.points_to_idxs(xyz_pts)
+        flat = self.flatten_idxs(idxs)
+        batch_offset = jnp.arange(batch, dtype=flat.dtype)[:, None] * nv
+        seg_ids = (flat + batch_offset).reshape(-1)
+        if valid_mask is not None:
+            # route invalid points to a trash bin past the end
+            seg_ids = jnp.where(valid_mask.reshape(-1), seg_ids, batch * nv)
+        feats = feature_pts.reshape(batch * num_pts, channels)
+        num_segments = batch * nv + (1 if valid_mask is not None else 0)
+
+        if reduce_method == "max":
+            out = jax.ops.segment_max(feats, seg_ids, num_segments=num_segments)
+            counts = jax.ops.segment_sum(
+                jnp.ones((seg_ids.shape[0],), dtype=jnp.int32),
+                seg_ids,
+                num_segments=num_segments,
+            )
+            out = jnp.where(counts[:, None] > 0, out, 0.0).astype(feats.dtype)
+        elif reduce_method == "mean":
+            sums = jax.ops.segment_sum(feats, seg_ids, num_segments=num_segments)
+            counts = jax.ops.segment_sum(
+                jnp.ones((seg_ids.shape[0],), dtype=feats.dtype),
+                seg_ids,
+                num_segments=num_segments,
+            )
+            out = sums / jnp.maximum(counts[:, None], 1.0)
+        else:
+            raise ValueError(f"unknown reduce_method {reduce_method!r}")
+        if valid_mask is not None:
+            out = out[: batch * nv]
+        vol = out.reshape(batch, *self.grid_shape, channels)
+        return jnp.transpose(vol, (0, 4, 1, 2, 3))

@@ -1,0 +1,90 @@
+"""Golden tests: trilinear sampling vs torch grid_sample, resizes vs torch/PIL.
+
+torch (CPU-only) serves as the oracle, since the reference's decoder relies
+on exact ``grid_sample(mode=bilinear, padding_mode=border,
+align_corners=True)`` semantics for checkpoint parity (net.py:233-239).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from semantic_abstraction_tpu.ops import (  # noqa: E402
+    grid_sample_3d,
+    resize_bilinear,
+    resize_bicubic_pil,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grid_sample_3d_matches_torch(seed):
+    rng = np.random.default_rng(seed)
+    b, c, d, h, w = 2, 5, 6, 7, 8
+    n = 400
+    vol = rng.normal(size=(b, c, d, h, w)).astype(np.float32)
+    # include out-of-range coords to exercise border padding
+    coords = rng.uniform(-1.4, 1.4, size=(b, n, 3)).astype(np.float32)
+
+    got = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords)))
+
+    tvol = torch.from_numpy(vol)
+    tgrid = torch.from_numpy(coords).view(b, n, 1, 1, 3)
+    ref = F.grid_sample(
+        tvol, tgrid, mode="bilinear", padding_mode="border", align_corners=True
+    )
+    ref = ref.view(b, c, n).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_grid_sample_3d_exact_corners():
+    vol = np.zeros((1, 1, 3, 4, 5), np.float32)
+    vol[0, 0, 2, 0, 0] = 9.0
+    coords = jnp.asarray([[[-1.0, -1.0, 1.0]]])  # x->W0, y->H0, z->Dlast
+    out = np.asarray(grid_sample_3d(jnp.asarray(vol), coords))
+    assert out[0, 0, 0] == 9.0
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 7), (96, 96)), ((7, 7), (224, 224)), ((20, 30), (10, 15))])
+def test_resize_bilinear_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 3, *in_hw)).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(img), out_hw))
+    ref = F.interpolate(
+        torch.from_numpy(img), size=out_hw, mode="bilinear", align_corners=False
+    ).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_resize_bicubic_matches_pil_float():
+    """Exact weight parity vs PIL's float ('F' mode) bicubic resample.
+
+    PIL's uint8 path additionally rounds+clamps BETWEEN the two 1-D passes,
+    which a float pipeline deliberately does not reproduce; the float path
+    shares the identical filter weights and is the meaningful oracle.
+    """
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for in_size in (90, 180, 360, 224, 720):
+        img = rng.normal(size=(in_size, in_size)).astype(np.float32)
+        ref = np.asarray(Image.fromarray(img, mode="F").resize((224, 224), Image.BICUBIC))
+        got = np.asarray(resize_bicubic_pil(jnp.asarray(img), (224, 224)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_resize_bicubic_uint8_close_to_pil():
+    """Loose check vs PIL's uint8 path (differs only by inter-pass rounding)."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    img_u8 = rng.integers(0, 256, size=(180, 180, 3), dtype=np.uint8)
+    ref = np.asarray(
+        Image.fromarray(img_u8).resize((224, 224), Image.BICUBIC), dtype=np.float32
+    )
+    img_f = jnp.asarray(img_u8.astype(np.float32).transpose(2, 0, 1))
+    got = np.clip(np.asarray(resize_bicubic_pil(img_f, (224, 224))), 0, 255)
+    assert np.abs(got.transpose(1, 2, 0) - ref).mean() < 0.75
