@@ -9,6 +9,17 @@ from .model import (
 from .tokenizer import ClipTokenizer, tokenize, default_tokenizer
 from .relevancy import gradcam, gradcam_jit, zeroshot_weights_from_features
 from .convert import convert_clip_state_dict, load_clip_checkpoint
+from .saliency import (
+    ClipSaliency,
+    SaliencyConfig,
+    CropSpec,
+    saliency_configs,
+    ours_config,
+    chefer_et_al_config,
+    color_jitter,
+    extract_tiles,
+    tile_plan,
+)
 
 __all__ = [
     "ClipConfig",
@@ -25,4 +36,13 @@ __all__ = [
     "zeroshot_weights_from_features",
     "convert_clip_state_dict",
     "load_clip_checkpoint",
+    "ClipSaliency",
+    "SaliencyConfig",
+    "CropSpec",
+    "saliency_configs",
+    "ours_config",
+    "chefer_et_al_config",
+    "color_jitter",
+    "extract_tiles",
+    "tile_plan",
 ]

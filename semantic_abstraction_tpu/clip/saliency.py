@@ -1,0 +1,445 @@
+"""Multi-scale CLIP relevancy extraction — the ClipWrapper equivalent.
+
+TPU-native re-architecture of the reference's relevancy engine
+(reference: CLIP/clip/__init__.py:44-282 — ``get_clip_saliency``
+:103-133, ``get_clip_saliency_convolve`` :135-236, ``create_tiles``
+:238-282, ``saliency_configs`` :19-41).
+
+The reference pipeline is host-bound: PIL crops + per-tile preprocess
+(its own comment calls tiling "currently biggest bottleneck",
+__init__.py:275), serial python loops over tile/prompt batches, per-label
+``torch.autograd.grad`` calls, and host-side canvas accumulation. Here the
+whole thing is device-resident:
+
+- The crop plan (tile offsets, per-scale counts, scatter indices) is a
+  STATIC function of (H, W, config), computed once per shape and cached —
+  no recompiles across images of the same size.
+- Tile extraction is a vmapped ``dynamic_slice`` on the device image;
+  bicubic tile->224 preprocessing is a pair of precomputed resize-matrix
+  matmuls (MXU) matching PIL's antialiased BICUBIC.
+- Color-jitter augmentations (torchvision ColorJitter(0.6, 0.6, 0.6, 0.1),
+  __init__.py:55-57) run as vectorized JAX image ops with jax.random.
+- Relevancy per tile batch is the single jitted forward+VJP of
+  ``relevancy.gradcam`` with labels vmapped (vs the reference's serial
+  per-label autograd loop).
+- Per-scale canvas accumulation (bilinear 7x7 -> tile_size upsample +
+  strided window add, __init__.py:205-233) is a lax.scan of
+  resize-matmuls + scatter-adds into an (L, H*W) canvas.
+
+Horizontal flipping averages the relevancy of the mirrored tile batch
+(un-mirrored again before accumulation), matching __init__.py:170-204.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import resize_matrix
+from .model import ClipConfig, VIT_B_32, encode_text
+from .relevancy import gradcam, zeroshot_weights_from_features
+from .tokenizer import tokenize
+
+CLIP_PIXEL_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_PIXEL_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CropSpec:
+    tile_size: int
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class SaliencyConfig:
+    """Mirror of the reference saliency_configs entries (__init__.py:19-41)."""
+
+    crops: Tuple[CropSpec, ...]
+    horizontal_flipping: bool = True
+    augmentations: int = 5
+    positive_attn_only: bool = True
+    imagenet_prompt_ensemble: bool = False
+
+
+def ours_config(img_dim: int) -> SaliencyConfig:
+    return SaliencyConfig(
+        crops=(
+            CropSpec(img_dim, img_dim // 4),
+            CropSpec(int(img_dim * 2 / 3), int(img_dim * 2 / 3) // 4),
+            CropSpec(img_dim // 2, (img_dim // 2) // 4),
+            CropSpec(img_dim // 4, (img_dim // 4) // 4),
+        ),
+        horizontal_flipping=True,
+        augmentations=5,
+    )
+
+
+def chefer_et_al_config(img_dim: int) -> SaliencyConfig:
+    return SaliencyConfig(
+        crops=(CropSpec(img_dim, img_dim // 4),),
+        horizontal_flipping=False,
+        augmentations=0,
+    )
+
+
+saliency_configs = {"ours": ours_config, "chefer_et_al": chefer_et_al_config}
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalePlan:
+    tile_size: int
+    offsets: np.ndarray  # (T, 2) int32 rows (x) / cols (y), per base image
+    count: np.ndarray  # (H, W) float32 accumulation normalizer (all images)
+    scatter_idx: np.ndarray  # (T, tile, tile) int32 linear canvas indices
+
+
+@functools.lru_cache(maxsize=64)
+def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
+              num_images: int) -> Tuple[ScalePlan, ...]:
+    """Static crop plan for an (H, W) image (reference create_tiles
+    :238-282, including its y<H / x<W skip quirks and the 1e-5-seeded
+    per-scale count canvases)."""
+    h, w = hw
+    plans = []
+    for crop in crops:
+        ts, stride = crop.tile_size, crop.stride
+        offs = []
+        for y in range(0, w - ts + 1, stride):
+            if y >= h:
+                continue
+            for x in range(0, h - ts + 1, stride):
+                if x >= w:
+                    continue
+                offs.append((x, y))
+        offsets = np.asarray(offs, dtype=np.int32).reshape(-1, 2)
+        count = np.full((h, w), 1e-5, dtype=np.float32)
+        for x, y in offs:
+            count[x : x + ts, y : y + ts] += float(num_images)
+        rr = np.arange(ts, dtype=np.int64)
+        lin = (
+            (offsets[:, 0:1, None] + rr[None, :, None]) * w
+            + (offsets[:, 1:2, None] + rr[None, None, :])
+        ).astype(np.int32)
+        plans.append(ScalePlan(ts, offsets, count, lin))
+    return tuple(plans)
+
+
+# ---------------------------------------------------------------------------
+# Color jitter (torchvision ColorJitter(brightness=.6, contrast=.6,
+# saturation=.6, hue=.1) distribution parity; exact RNG draws differ)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_gray(img: jax.Array) -> jax.Array:
+    # torchvision rgb_to_grayscale weights
+    r, g, b = img[0], img[1], img[2]
+    return 0.2989 * r + 0.587 * g + 0.114 * b
+
+
+def _adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def _adjust_contrast(img, factor):
+    mean = _rgb_to_gray(img).mean()
+    return jnp.clip(img * factor + (1.0 - factor) * mean, 0.0, 1.0)
+
+
+def _adjust_saturation(img, factor):
+    gray = _rgb_to_gray(img)[None]
+    return jnp.clip(img * factor + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def _adjust_hue(img, shift):
+    r, g, b = img[0], img[1], img[2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    c = maxc - minc
+    s = jnp.where(maxc > 0, c / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_c = jnp.maximum(c, 1e-12)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    hr = jnp.where((maxc == r), bc - gc, 0.0)
+    hg = jnp.where((maxc == g) & (maxc != r), 2.0 + rc - bc, 0.0)
+    hb = jnp.where((maxc != r) & (maxc != g), 4.0 + gc - rc, 0.0)
+    hue = ((hr + hg + hb) / 6.0) % 1.0
+    hue = jnp.where(c > 0, hue, 0.0)
+    hue = (hue + shift) % 1.0
+    i = jnp.floor(hue * 6.0)
+    f = hue * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=0)
+
+
+def color_jitter(key: jax.Array, img: jax.Array,
+                 brightness: float = 0.6, contrast: float = 0.6,
+                 saturation: float = 0.6, hue: float = 0.1) -> jax.Array:
+    """One jittered copy of a (3, H, W) image in [0, 1], ops in random order."""
+    kf, kp = jax.random.split(key)
+    fb, fc, fs = jax.random.uniform(kf, (3,), minval=jnp.asarray(
+        [1 - brightness, 1 - contrast, 1 - saturation]),
+        maxval=jnp.asarray([1 + brightness, 1 + contrast, 1 + saturation]))
+    fh = jax.random.uniform(jax.random.fold_in(kf, 1), (), minval=-hue, maxval=hue)
+    order = jax.random.permutation(kp, 4)
+
+    def apply_op(i, im):
+        op = order[i]
+        return jax.lax.switch(
+            op,
+            [
+                lambda x: _adjust_brightness(x, fb),
+                lambda x: _adjust_contrast(x, fc),
+                lambda x: _adjust_saturation(x, fs),
+                lambda x: _adjust_hue(x, fh),
+            ],
+            im,
+        )
+
+    return jax.lax.fori_loop(0, 4, apply_op, img)
+
+
+# ---------------------------------------------------------------------------
+# Tile extraction + preprocessing
+# ---------------------------------------------------------------------------
+
+
+def extract_tiles(images: jax.Array, offsets: jax.Array, tile_size: int,
+                  resolution: int = 224) -> jax.Array:
+    """(I, 3, H, W) images + (T, 2) offsets -> (I*T, 3, R, R) CLIP inputs.
+
+    Crop via vmapped dynamic_slice; PIL-parity bicubic resize to the CLIP
+    resolution as two MXU matmuls; normalize with the CLIP pixel stats.
+    """
+    rm = jnp.asarray(resize_matrix(tile_size, resolution, "bicubic_pil"))
+
+    def crop_one(img, off):
+        return jax.lax.dynamic_slice(
+            img, (0, off[0], off[1]), (3, tile_size, tile_size)
+        )
+
+    tiles = jax.vmap(
+        lambda img: jax.vmap(lambda off: crop_one(img, off))(offsets)
+    )(images)  # (I, T, 3, ts, ts)
+    i, t = tiles.shape[:2]
+    tiles = tiles.reshape(i * t, 3, tile_size, tile_size)
+    tiles = jnp.einsum("bchw,oh->bcow", tiles, rm)
+    tiles = jnp.einsum("bcow,pw->bcop", tiles, rm)
+    tiles = jnp.clip(tiles, 0.0, 1.0)
+    mean = jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
+    std = jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
+    return (tiles - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# The extractor
+# ---------------------------------------------------------------------------
+
+
+class ClipSaliency:
+    """Multi-scale Chefer relevancy extractor over a JAX CLIP.
+
+    Public surface mirrors the reference ClipWrapper classmethods
+    (get_clip_saliency / get_clip_text_feature) but is an instance holding
+    the param pytree; jitted stages are cached per static shape.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: ClipConfig = VIT_B_32,
+        compute_dtype=jnp.float32,
+        tile_batch_size: int = 32,
+        accum_chunk: int = 16,
+        num_layers: int = 10,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        self.tile_batch_size = tile_batch_size
+        self.accum_chunk = accum_chunk
+        self.num_layers = num_layers
+        self._text_jit = jax.jit(
+            lambda tokens: encode_text(params["text"], tokens, cfg, jnp.float32)
+        )
+        self._gradcam_jit = {}
+        self._jitter_jit = jax.jit(jax.vmap(color_jitter, in_axes=(0, None)))
+        self._extract_jit = {}
+        self._accum_jit = {}
+
+    # -- text ---------------------------------------------------------------
+
+    def text_features(self, texts: Sequence[str]) -> jax.Array:
+        """Raw (unnormalized) CLIP text features, (N, E). Reference
+        ClipWrapper.get_clip_text_feature (__init__.py:78-89)."""
+        tokens = jnp.asarray(tokenize(list(texts)))
+        return self._text_jit(tokens)
+
+    def zeroshot_weights(self, labels: Sequence[str],
+                         templates: Sequence[str]) -> jax.Array:
+        """(E, L) prompt-ensembled zeroshot weights
+        (reference clip_gradcam.zeroshot_classifier :12-27)."""
+        texts = [t.format(label) for label in labels for t in templates]
+        feats = self.text_features(texts).reshape(
+            len(labels), len(templates), -1
+        )
+        return zeroshot_weights_from_features(feats)
+
+    # -- relevancy ----------------------------------------------------------
+
+    def _gradcam_batch(self, tiles: jax.Array, zw: jax.Array,
+                       positive_attn_only: bool) -> jax.Array:
+        """(B, 3, R, R) x (E, L) -> (L, B, 7, 7); jit cached per shape."""
+        sig = (tiles.shape, zw.shape, positive_attn_only)
+        if sig not in self._gradcam_jit:
+            self._gradcam_jit[sig] = jax.jit(
+                functools.partial(
+                    gradcam,
+                    cfg=self.cfg,
+                    num_layers=self.num_layers,
+                    positive_attn_only=positive_attn_only,
+                    compute_dtype=self.compute_dtype,
+                )
+            )
+        return self._gradcam_jit[sig](self.params["visual"], tiles, zw)
+
+    def _run_tiles(self, tiles: jax.Array, zw: jax.Array,
+                   positive_attn_only: bool, flip: bool) -> jax.Array:
+        """Chunked gradcam over the tile axis; optional flip-averaging."""
+        n = tiles.shape[0]
+        bs = self.tile_batch_size
+        pad = (-n) % bs
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)], axis=0
+            )
+        outs = []
+        for i in range(0, tiles.shape[0], bs):
+            chunk = tiles[i : i + bs]
+            rel = self._gradcam_batch(chunk, zw, positive_attn_only)
+            if flip:
+                rel_f = self._gradcam_batch(
+                    chunk[..., ::-1], zw, positive_attn_only
+                )
+                rel = (rel + rel_f[..., ::-1]) / 2.0
+            outs.append(rel)
+        rel = jnp.concatenate(outs, axis=1)
+        return rel[:, :n]
+
+    def _accumulate(self, rel: jax.Array, plan: ScalePlan,
+                    hw: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
+        """(L, T, g, g) tile relevancies -> (L, H*W) canvas sum."""
+        sig = (rel.shape, plan.tile_size, hw)
+        if sig not in self._accum_jit:
+            ts = plan.tile_size
+            g = rel.shape[-1]
+            up = jnp.asarray(resize_matrix(g, ts, "bilinear_torch"))
+            chunk = self.accum_chunk
+            h, w = hw
+
+            def accum(rel_, scatter_idx):
+                l, t = rel_.shape[:2]
+                pad = (-t) % chunk
+                if pad:
+                    rel_ = jnp.concatenate(
+                        [rel_, jnp.zeros((l, pad) + rel_.shape[2:], rel_.dtype)],
+                        axis=1,
+                    )
+                    scatter_idx = jnp.concatenate(
+                        [scatter_idx, jnp.broadcast_to(
+                            scatter_idx[:1], (pad,) + scatter_idx.shape[1:]
+                        )], axis=0,
+                    )
+                nchunks = rel_.shape[1] // chunk
+                rel_c = rel_.reshape(l, nchunks, chunk, g, g).transpose(1, 0, 2, 3, 4)
+                idx_c = scatter_idx.reshape(nchunks, chunk * ts * ts)
+
+                def body(canvas, inp):
+                    r, idx = inp
+                    big = jnp.einsum("lcgh,og->lcoh", r, up)
+                    big = jnp.einsum("lcoh,ph->lcop", big, up)
+                    return canvas.at[:, idx].add(
+                        big.reshape(l, -1), mode="drop"
+                    ), None
+
+                canvas = jnp.zeros((l, h * w), jnp.float32)
+                canvas, _ = jax.lax.scan(body, canvas, (rel_c, idx_c))
+                return canvas
+
+            self._accum_jit[sig] = jax.jit(accum)
+        return self._accum_jit[sig](rel, jnp.asarray(plan.scatter_idx))
+
+    def get_clip_saliency(
+        self,
+        img: np.ndarray,
+        text_labels: Sequence[str],
+        prompts: Sequence[str] = ("{}",),
+        config: Optional[SaliencyConfig] = None,
+        key: Optional[jax.Array] = None,
+        distractor_labels: Sequence[str] = (),
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(H, W, 3) uint8 image + labels -> ((L, H, W) relevancy, (L, E)
+        text features). Reference get_clip_saliency (__init__.py:103-133).
+        """
+        if config is None:
+            config = ours_config(min(img.shape[:2]))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        label_feats = self.text_features(list(text_labels))
+        zw = self.zeroshot_weights(list(text_labels), list(prompts))
+        maps = self._saliency_convolve(img, zw, config, key)
+        if len(distractor_labels):
+            extra = [d for d in distractor_labels if d not in set(text_labels)]
+            if extra:
+                dzw = self.zeroshot_weights(extra, list(prompts))
+                dmaps = self._saliency_convolve(img, dzw, config, key)
+                maps = maps - dmaps.mean(axis=0)
+        return maps, label_feats
+
+    def _saliency_convolve(self, img: np.ndarray, zw: jax.Array,
+                           config: SaliencyConfig, key: jax.Array) -> jax.Array:
+        h, w = img.shape[:2]
+        n_images = 1 + config.augmentations
+        plans = tile_plan((h, w), config.crops, n_images)
+        base = jnp.asarray(
+            np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.float32
+        ) / 255.0
+        if config.augmentations > 0:
+            keys = jax.random.split(key, config.augmentations)
+            jittered = self._jitter_jit(keys, base)
+            images = jnp.concatenate([base[None], jittered], axis=0)
+        else:
+            images = base[None]
+
+        total = jnp.zeros((zw.shape[1], h * w), jnp.float32)
+        for plan in plans:
+            if plan.offsets.shape[0] == 0:
+                continue
+            esig = (images.shape, plan.offsets.shape, plan.tile_size)
+            if esig not in self._extract_jit:
+                self._extract_jit[esig] = jax.jit(
+                    functools.partial(extract_tiles, tile_size=plan.tile_size)
+                )
+            tiles = self._extract_jit[esig](images, jnp.asarray(plan.offsets))
+            rel = self._run_tiles(
+                tiles, zw, config.positive_attn_only, config.horizontal_flipping
+            )  # (L, I*T, 7, 7)
+            # scatter indices repeat per augmented image
+            idx = np.tile(plan.scatter_idx, (n_images, 1, 1))
+            canvas = self._accumulate(
+                rel, ScalePlan(plan.tile_size, plan.offsets, plan.count, idx),
+                (h, w),
+            )
+            total = total + canvas / jnp.asarray(plan.count.reshape(-1))[None]
+        return (total / len(plans)).reshape(zw.shape[1], h, w)

@@ -1,0 +1,453 @@
+"""Semantic-abstraction 3D completion networks, pure JAX.
+
+TPU-native re-architecture of the reference's model family (reference:
+net.py:319-678): SemAbs3D (OVSSC "ours"), SemanticAwareOVSSC,
+SemAbsVOOL ("ours"), SemanticAwareVOOL, ClipSpatialVOOL.
+
+Departures from the torch classes:
+- Models are (config dataclass, init fn, pure apply fn) triples over pytree
+  params — no modules, no stateful ``self.visual_volumetric_features``;
+  the VOOL nets take the feature volume explicitly from
+  :func:`semabs3d_feature_vol` instead of reading it off the module.
+- String-keyed relation embeddings (reference ParameterDict, net.py:490-503)
+  become a (7, D) table indexed by integer relation ids (``RELATIONS``
+  fixes the vocabulary order); the host data pipeline maps names -> ids so
+  the apply fns stay jittable.
+- SemanticAwareVOOL's CLIP text features (fetched via ClipWrapper inside
+  forward in the reference, net.py:594-602) are explicit inputs computed
+  once host-side.
+- The UNet runs in a configurable ``compute_dtype`` (bf16 on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.voxel import VoxelGrid
+from .decoder import (
+    _init_linear,
+    _linear,
+    implicit_decoder,
+    init_implicit_decoder,
+    init_pointing_attention,
+    pointing_attention,
+    pointing_attention_paired,
+)
+from .unet3d import init_residual_unet3d, residual_unet3d
+
+# Fixed relation vocabulary (reference net.py:490-503 ParameterDict keys).
+RELATIONS = (
+    "in",
+    "behind",
+    "in front of",
+    "on the left of",
+    "on the right of",
+    "on",
+    "[pad]",
+)
+RELATION_TO_ID = {r: i for i, r in enumerate(RELATIONS)}
+
+
+@dataclasses.dataclass(frozen=True)
+class SemAbs3DConfig:
+    """Reference defaults from utils.py:38-100."""
+
+    voxel_shape: Tuple[int, int, int] = (128, 128, 128)
+    scene_bounds: Tuple[Tuple[float, float, float], Tuple[float, float, float]] = (
+        (-1.0, -1.0, -0.1),
+        (1.0, 1.0, 1.9),
+    )
+    unet_num_channels: int = 16
+    unet_f_maps: int = 16
+    unet_num_groups: int = 8
+    unet_num_levels: int = 6
+    network_inputs: Tuple[str, ...] = ("saliency",)
+    use_pts_feat_extractor: bool = True
+    pts_feat_extractor_hidden_dim: int = 128
+    reduce_method: str = "max"
+    output_dim: int = 1
+    decoder_concat_xyz_pts: bool = True
+
+    @property
+    def pts_feature_dim(self) -> int:
+        return (
+            ("saliency" in self.network_inputs)
+            + 3 * ("rgb" in self.network_inputs)
+            + ("patch_masks" in self.network_inputs)
+        )
+
+    @property
+    def unet_in_channels(self) -> int:
+        if self.use_pts_feat_extractor:
+            return self.unet_num_channels
+        return self.pts_feature_dim + ("tsdf" in self.network_inputs)
+
+    @property
+    def grid(self) -> VoxelGrid:
+        return VoxelGrid(
+            lower=self.scene_bounds[0],
+            upper=self.scene_bounds[1],
+            grid_shape=self.voxel_shape,
+        )
+
+
+def init_semabs3d(key: jax.Array, cfg: SemAbs3DConfig, dtype=jnp.float32) -> dict:
+    kp, ku, kd = jax.random.split(key, 3)
+    params = {}
+    if cfg.use_pts_feat_extractor:
+        assert cfg.reduce_method == "max"  # reference net.py:368
+        h = cfg.pts_feat_extractor_hidden_dim
+        out = cfg.unet_num_channels - int("tsdf" in cfg.network_inputs)
+        k1, k2, k3 = jax.random.split(kp, 3)
+        params["pts_feat_extractor"] = {
+            "fc1": _init_linear(k1, cfg.pts_feature_dim + 3, h, dtype),
+            "fc2": _init_linear(k2, h, h, dtype),
+            "fc3": _init_linear(k3, h, out, dtype),
+        }
+    params["unet"] = init_residual_unet3d(
+        ku,
+        in_channels=cfg.unet_in_channels,
+        out_channels=cfg.unet_num_channels,
+        f_maps=cfg.unet_f_maps,
+        num_levels=cfg.unet_num_levels,
+        dtype=dtype,
+    )
+    params["decoder"] = init_implicit_decoder(
+        kd, cfg.unet_num_channels, cfg.output_dim, cfg.decoder_concat_xyz_pts, dtype
+    )
+    return params
+
+
+def _pts_feat_mlp(p: dict, x: jax.Array) -> jax.Array:
+    x = jax.nn.leaky_relu(_linear(p["fc1"], x), 0.01)
+    x = jax.nn.leaky_relu(_linear(p["fc2"], x), 0.01)
+    return _linear(p["fc3"], x)
+
+
+def semabs3d_feature_vol(
+    params: dict,
+    cfg: SemAbs3DConfig,
+    input_xyz_pts: jax.Array,
+    input_feature_pts: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Point features -> UNet feature volume (B*P, C, gx, gy, gz).
+
+    input_xyz_pts (B, N, 3), input_feature_pts (B, P, N, F). Mirrors
+    reference SemAbs3D.forward up to the UNet (net.py:383-424): per-patch
+    xyz repeat, optional pts-feature MLP on cat(xyz, feats), voxel
+    max/mean scatter, optional TSDF channel concat, 3D ResUNet.
+    ``valid_mask`` (B, N) drops padded points from the scatter.
+    """
+    b, p, n, f = input_feature_pts.shape
+    xyz = jnp.broadcast_to(input_xyz_pts[:, None], (b, p, n, 3)).reshape(b * p, n, 3)
+    feats = input_feature_pts.reshape(b * p, n, f)
+    if cfg.use_pts_feat_extractor:
+        feats = _pts_feat_mlp(
+            params["pts_feat_extractor"], jnp.concatenate([xyz, feats], axis=-1)
+        )
+    if valid_mask is not None:
+        valid_mask = jnp.broadcast_to(valid_mask[:, None], (b, p, n)).reshape(b * p, n)
+    vol = cfg.grid.scatter_points(
+        xyz, feats, reduce_method=cfg.reduce_method, valid_mask=valid_mask
+    )
+    if "tsdf" in cfg.network_inputs:
+        tsdf = jnp.broadcast_to(
+            tsdf_vol[:, None], (b, p) + tsdf_vol.shape[1:]
+        ).reshape(b * p, *tsdf_vol.shape[1:])
+        if tsdf.ndim == 4:
+            tsdf = tsdf[:, None]
+        vol = jnp.concatenate([tsdf.astype(vol.dtype), vol], axis=1)
+    return residual_unet3d(
+        params["unet"], vol, cfg.unet_num_groups, compute_dtype=compute_dtype
+    )
+
+
+def semabs3d_forward(
+    params: dict,
+    cfg: SemAbs3DConfig,
+    input_xyz_pts: jax.Array,
+    input_feature_pts: jax.Array,
+    output_xyz_pts: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Full SemAbs3D (reference net.py:383-439).
+
+    output_xyz_pts (B, Q, M, 3) -> logits (B, Q, M) when output_dim == 1,
+    else (B, Q, M, output_dim). If the input has one patch and Q > 1, the
+    feature volume is shared across queries (reference net.py:411-417).
+    """
+    b, p = input_feature_pts.shape[:2]
+    q, m = output_xyz_pts.shape[1:3]
+    vols = semabs3d_feature_vol(
+        params, cfg, input_xyz_pts, input_feature_pts, tsdf_vol, valid_mask,
+        compute_dtype,
+    )
+    if p < q:
+        vols = jnp.broadcast_to(
+            vols.reshape(b, p, *vols.shape[1:]), (b, q) + vols.shape[1:]
+        ).reshape(b * q, *vols.shape[1:])
+    out = implicit_decoder(
+        params["decoder"],
+        vols,
+        cfg.grid,
+        output_xyz_pts.reshape(b * q, m, 3),
+        cfg.decoder_concat_xyz_pts,
+    ).reshape(b, q, m, cfg.output_dim)
+    if cfg.output_dim == 1:
+        out = out[..., 0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OVSSC variants
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SemanticAwareOVSSCConfig:
+    """SemAbs3D with CLIP-dim output + class-feature pointer (net.py:442-466)."""
+
+    completion: SemAbs3DConfig = dataclasses.field(
+        default_factory=lambda: SemAbs3DConfig(
+            network_inputs=("rgb",), output_dim=512
+        )
+    )
+    pointing_method: str = "cosine_sim"
+    pointing_temperature: float = 0.07
+    clip_hidden_dim: int = 512
+
+
+def init_semantic_aware_ovssc(key, cfg: SemanticAwareOVSSCConfig, dtype=jnp.float32):
+    kc, kp = jax.random.split(key)
+    return {
+        "completion": init_semabs3d(kc, cfg.completion, dtype),
+        "pointer": init_pointing_attention(
+            kp, cfg.clip_hidden_dim, cfg.pointing_method, dtype
+        ),
+    }
+
+
+def semantic_aware_ovssc_forward(
+    params: dict,
+    cfg: SemanticAwareOVSSCConfig,
+    input_xyz_pts: jax.Array,
+    input_feature_pts: jax.Array,
+    output_xyz_pts: jax.Array,
+    semantic_class_features: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """semantic_class_features (B, P, E) -> per-point class logits (B, P, M)."""
+    sampled = semabs3d_forward(
+        params["completion"], cfg.completion, input_xyz_pts, input_feature_pts,
+        output_xyz_pts, tsdf_vol, valid_mask, compute_dtype,
+    )  # (B, P, M, E)
+    return pointing_attention_paired(
+        params["pointer"],
+        key=semantic_class_features,
+        query=sampled,
+        method=cfg.pointing_method,
+        pointing_dim=cfg.clip_hidden_dim,
+        temperature=cfg.pointing_temperature,
+    )
+
+
+# ---------------------------------------------------------------------------
+# VOOL variants
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SemAbsVOOLConfig:
+    """Two-stream completion + learned relation pointer (net.py:469-579)."""
+
+    completion: SemAbs3DConfig = dataclasses.field(default_factory=SemAbs3DConfig)
+    pointing_method: str = "cosine_sim"
+    pointing_dim: int = 64
+    pointing_temperature: float = 0.07
+    decoder_concat_xyz_pts: bool = True
+
+
+def init_semabs_vool(key, cfg: SemAbsVOOLConfig, dtype=jnp.float32):
+    kc, ks, kp, kr = jax.random.split(key, 4)
+    return {
+        "completion": init_semabs3d(kc, cfg.completion, dtype),
+        "spatial_sampler": init_implicit_decoder(
+            ks, 2 * cfg.completion.unet_num_channels, cfg.pointing_dim,
+            cfg.decoder_concat_xyz_pts, dtype,
+        ),
+        "pointer": init_pointing_attention(kp, cfg.pointing_dim, cfg.pointing_method, dtype),
+        "relation_embeddings": jax.random.normal(
+            kr, (len(RELATIONS), cfg.pointing_dim), dtype
+        ),
+    }
+
+
+def semabs_vool_forward(
+    params: dict,
+    cfg: SemAbsVOOLConfig,
+    input_xyz_pts: jax.Array,
+    input_target_saliency_pts: jax.Array,
+    input_reference_saliency_pts: jax.Array,
+    output_xyz_pts: jax.Array,
+    spatial_relation_id: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Saliency streams (B, D, N, 1) + relation ids (B, D) -> logits (B, D, M)."""
+    b, nd, m = output_xyz_pts.shape[:3]
+    target_vol = semabs3d_feature_vol(
+        params["completion"], cfg.completion, input_xyz_pts,
+        input_target_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
+    )
+    reference_vol = semabs3d_feature_vol(
+        params["completion"], cfg.completion, input_xyz_pts,
+        input_reference_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
+    )
+    feature_vol = jnp.concatenate([target_vol, reference_vol], axis=1)
+    sampled = implicit_decoder(
+        params["spatial_sampler"],
+        feature_vol,
+        cfg.completion.grid,
+        output_xyz_pts.reshape(b * nd, m, 3),
+        cfg.decoder_concat_xyz_pts,
+    )  # (B*D, M, pointing_dim)
+    rel = params["relation_embeddings"][spatial_relation_id]  # (B, D, pd)
+    logits = pointing_attention(
+        params["pointer"],
+        key=sampled,
+        query=rel.reshape(b * nd, 1, -1),
+        method=cfg.pointing_method,
+        pointing_dim=cfg.pointing_dim,
+        temperature=cfg.pointing_temperature,
+    )
+    return logits.reshape(b, nd, m)
+
+
+@dataclasses.dataclass(frozen=True)
+class SemanticAwareVOOLConfig:
+    """RGB-in baseline with CLIP text-feature queries (net.py:582-636)."""
+
+    completion: SemAbs3DConfig = dataclasses.field(
+        default_factory=lambda: SemAbs3DConfig(network_inputs=("rgb",), output_dim=64)
+    )
+    pointing_method: str = "cosine_sim"
+    pointing_dim: int = 64
+    pointing_temperature: float = 0.07
+    clip_hidden_dim: int = 512
+
+
+def init_semantic_aware_vool(key, cfg: SemanticAwareVOOLConfig, dtype=jnp.float32):
+    kc, kp, kr, km = jax.random.split(key, 4)
+    return {
+        "completion": init_semabs3d(kc, cfg.completion, dtype),
+        "pointer": init_pointing_attention(kp, cfg.pointing_dim, cfg.pointing_method, dtype),
+        "relation_embeddings": jax.random.normal(
+            kr, (len(RELATIONS), cfg.pointing_dim), dtype
+        ),
+        "query_mlp": _init_linear(
+            km, 2 * cfg.clip_hidden_dim + cfg.pointing_dim, cfg.pointing_dim, dtype
+        ),
+    }
+
+
+def semantic_aware_vool_forward(
+    params: dict,
+    cfg: SemanticAwareVOOLConfig,
+    input_xyz_pts: jax.Array,
+    input_rgb_pts: jax.Array,
+    output_xyz_pts: jax.Array,
+    spatial_relation_id: jax.Array,
+    target_obj_features: jax.Array,
+    reference_obj_features: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """input_rgb_pts (B, D, N, 3); target/reference_obj_features (B, D, E)
+    are CLIP text features computed host-side (reference fetches them inside
+    forward via ClipWrapper, net.py:594-602)."""
+    b, nd, m = output_xyz_pts.shape[:3]
+    sampled = semabs3d_forward(
+        params["completion"], cfg.completion, input_xyz_pts, input_rgb_pts,
+        output_xyz_pts, tsdf_vol, valid_mask, compute_dtype,
+    )  # (B, D, M, pointing_dim)
+    rel = params["relation_embeddings"][spatial_relation_id]  # (B, D, pd)
+    query = _linear(
+        params["query_mlp"],
+        jnp.concatenate(
+            [
+                target_obj_features.astype(rel.dtype),
+                reference_obj_features.astype(rel.dtype),
+                rel,
+            ],
+            axis=-1,
+        ),
+    )
+    logits = pointing_attention(
+        params["pointer"],
+        key=sampled.reshape(b * nd, m, -1),
+        query=query.reshape(b * nd, 1, -1),
+        method=cfg.pointing_method,
+        pointing_dim=cfg.pointing_dim,
+        temperature=cfg.pointing_temperature,
+    )
+    return logits.reshape(b, nd, m)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipSpatialVOOLConfig:
+    """Full-description relevancy baseline, no learned relations (net.py:639-678)."""
+
+    completion: SemAbs3DConfig = dataclasses.field(default_factory=SemAbs3DConfig)
+    decoder_concat_xyz_pts: bool = True
+
+
+def init_clip_spatial_vool(key, cfg: ClipSpatialVOOLConfig, dtype=jnp.float32):
+    kc, ks = jax.random.split(key)
+    return {
+        "completion": init_semabs3d(kc, cfg.completion, dtype),
+        "spatial_sampler": init_implicit_decoder(
+            ks, cfg.completion.unet_num_channels, 1, cfg.decoder_concat_xyz_pts, dtype
+        ),
+    }
+
+
+def clip_spatial_vool_forward(
+    params: dict,
+    cfg: ClipSpatialVOOLConfig,
+    input_xyz_pts: jax.Array,
+    input_description_saliency_pts: jax.Array,
+    output_xyz_pts: jax.Array,
+    tsdf_vol: Optional[jax.Array] = None,
+    valid_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    b, nd, m = output_xyz_pts.shape[:3]
+    feature_vol = semabs3d_feature_vol(
+        params["completion"], cfg.completion, input_xyz_pts,
+        input_description_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
+    )
+    out = implicit_decoder(
+        params["spatial_sampler"],
+        feature_vol,
+        cfg.completion.grid,
+        output_xyz_pts.reshape(b * nd, m, 3),
+        cfg.decoder_concat_xyz_pts,
+    )
+    return out.reshape(b, nd, m)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

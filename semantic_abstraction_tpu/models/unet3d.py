@@ -1,0 +1,254 @@
+"""Residual 3D UNet as pure JAX functions over a param pytree.
+
+TPU-native re-architecture of the reference's vendored pytorch-3dunet
+``ResidualUNet3D`` (reference: unet3d.py:658-689, ExtResNetBlock :190-259,
+Encoder :262-317, Decoder :320-396, Upsampling :399-444,
+Abstract3DUNet :481-621). Semantics reproduced:
+
+- ExtResNetBlock with layer order "gcr" (the Abstract3DUNet default that
+  ResidualUNet3D actually instantiates, unet3d.py:520/676): GroupNorm over
+  the INPUT channels -> Conv3d(bias=False) -> ReLU for conv1/conv2; conv3
+  drops the non-linearity ("gc"); residual add from conv1's output, then
+  ReLU (unet3d.py:232-259).
+- Encoders: MaxPool3d(2) before the block on every level but the first
+  (unet3d.py:534-560).
+- Decoders: ConvTranspose3d(k=3, stride=2, padding=1) sized to the skip
+  connection, SUM joining, then ExtResNetBlock (unet3d.py:320-396).
+- Final 1x1x1 Conv3d with bias (unet3d.py:583-585).
+
+TPU-first departures: the model is ``init`` + pure ``apply`` over a nested
+dict pytree; convs run through ``lax.conv_general_dilated`` in a
+configurable ``compute_dtype`` (bf16 on TPU feeds the MXU at full rate)
+while GroupNorm statistics are always fp32; the transposed conv is expressed
+as an input-dilated convolution so XLA lowers it onto the same conv engine.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def feature_maps_per_level(f_maps: int, num_levels: int) -> list:
+    """[f, 2f, 4f, ...] (reference unet3d.py:12-13)."""
+    return [f_maps * 2**k for k in range(num_levels)]
+
+
+def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, num_groups: int,
+               eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over (B, C, D, H, W); statistics in fp32."""
+    b, c = x.shape[:2]
+    orig_dtype = x.dtype
+    g = num_groups if c >= num_groups else 1
+    xg = x.astype(jnp.float32).reshape(b, g, -1)
+    mean = xg.mean(axis=-1, keepdims=True)
+    var = xg.var(axis=-1, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(x.shape)
+    shape = (1, c) + (1,) * (x.ndim - 2)
+    out = out * scale.astype(jnp.float32).reshape(shape)
+    out = out + bias.astype(jnp.float32).reshape(shape)
+    return out.astype(orig_dtype)
+
+
+_DIMNUMS = ("NCDHW", "OIDHW", "NCDHW")
+
+
+def conv3d(x: jax.Array, w: jax.Array, bias=None, stride: int = 1,
+           padding: int = 1) -> jax.Array:
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * 3,
+        padding=[(padding, padding)] * 3,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape(1, -1, 1, 1, 1)
+    return out
+
+
+def conv_transpose3d(x: jax.Array, w_t: jax.Array, bias=None, stride: int = 2,
+                     padding: int = 1, output_padding: int = 1) -> jax.Array:
+    """torch ``ConvTranspose3d`` semantics via an input-dilated conv.
+
+    ``w_t`` is stored in torch layout (I, O, kd, kh, kw). The equivalent
+    direct convolution uses the spatially-flipped kernel with I/O swapped,
+    lhs_dilation=stride and per-dim padding (k-1-p, k-1-p+output_padding).
+    """
+    k = w_t.shape[2]
+    w = jnp.flip(w_t, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1,) * 3,
+        padding=[(lo, hi)] * 3,
+        lhs_dilation=(stride,) * 3,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype).reshape(1, -1, 1, 1, 1)
+    return out
+
+
+def max_pool3d(x: jax.Array, window: int = 2) -> jax.Array:
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 1, window, window, window),
+        window_strides=(1, 1, window, window, window),
+        padding="VALID",
+    )
+
+
+def _single_conv(params: dict, x: jax.Array, num_groups: int, relu: bool) -> jax.Array:
+    """GroupNorm (input channels) -> Conv3d(bias=False) -> optional ReLU
+    ("gcr"/"gc" order, reference unet3d.py:20-95 create_conv)."""
+    x = group_norm(x, params["gn_scale"], params["gn_bias"], num_groups)
+    x = conv3d(x, params["w"])
+    if relu:
+        x = jax.nn.relu(x)
+    return x
+
+
+def ext_resnet_block(params: dict, x: jax.Array, num_groups: int) -> jax.Array:
+    """Reference ExtResNetBlock forward (unet3d.py:244-259)."""
+    out = _single_conv(params["conv1"], x, num_groups, relu=True)
+    residual = out
+    out = _single_conv(params["conv2"], out, num_groups, relu=True)
+    out = _single_conv(params["conv3"], out, num_groups, relu=False)
+    return jax.nn.relu(out + residual)
+
+
+def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
+                    compute_dtype=None) -> jax.Array:
+    """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    skips = []
+    for i, enc in enumerate(params["encoders"]):
+        if i > 0:
+            x = max_pool3d(x)
+        x = ext_resnet_block(enc, x, num_groups)
+        skips.insert(0, x)
+    skips = skips[1:]
+    for dec, skip in zip(params["decoders"], skips):
+        x = conv_transpose3d(x, dec["up_w"], dec["up_b"])
+        x = x + skip  # sum joining (unet3d.py:392-396)
+        x = ext_resnet_block(dec, x, num_groups)
+    return conv3d(x, params["final_w"], params["final_b"], padding=0)
+
+
+def _init_single_conv(key, c_in, c_out, dtype=jnp.float32):
+    # torch Conv3d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),
+    # b = sqrt(6 / ((1 + 5) * fan_in)) = 1/sqrt(fan_in)
+    fan_in = c_in * 27
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(key, (c_out, c_in, 3, 3, 3), dtype, -bound, bound),
+        # "gcr" order: GroupNorm acts on the conv INPUT channels
+        "gn_scale": jnp.ones((c_in,), dtype),
+        "gn_bias": jnp.zeros((c_in,), dtype),
+    }
+
+
+def _init_block(key, c_in, c_out, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": _init_single_conv(k1, c_in, c_out, dtype),
+        "conv2": _init_single_conv(k2, c_out, c_out, dtype),
+        "conv3": _init_single_conv(k3, c_out, c_out, dtype),
+    }
+
+
+def init_residual_unet3d(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    f_maps: int | Sequence[int] = 64,
+    num_levels: int = 5,
+    dtype=jnp.float32,
+) -> dict:
+    """Initialize the param pytree (reference defaults at utils.py:56-59:
+    f_maps=16, num_levels=6, num_groups=8, in/out=16)."""
+    fmaps = (feature_maps_per_level(f_maps, num_levels)
+             if isinstance(f_maps, int) else list(f_maps))
+    keys = jax.random.split(key, 2 * len(fmaps) + 1)
+    encoders = []
+    prev = in_channels
+    for i, c in enumerate(fmaps):
+        encoders.append(_init_block(keys[i], prev, c, dtype))
+        prev = c
+    decoders = []
+    rev = list(reversed(fmaps))
+    for i in range(len(rev) - 1):
+        c_in, c_out = rev[i], rev[i + 1]
+        kk = keys[len(fmaps) + i]
+        ku, kb = jax.random.split(kk)
+        fan_in = c_in * 27
+        bound = 1.0 / np.sqrt(fan_in)
+        dec = _init_block(kb, c_out, c_out, dtype)
+        dec["up_w"] = jax.random.uniform(
+            ku, (c_in, c_out, 3, 3, 3), dtype, -bound, bound
+        )
+        dec["up_b"] = jax.random.uniform(ku, (c_out,), dtype, -bound, bound)
+        decoders.append(dec)
+    kf = keys[-1]
+    bound = 1.0 / np.sqrt(fmaps[0])
+    return {
+        "encoders": encoders,
+        "decoders": decoders,
+        "final_w": jax.random.uniform(
+            kf, (out_channels, fmaps[0], 1, 1, 1), dtype, -bound, bound
+        ),
+        "final_b": jax.random.uniform(kf, (out_channels,), dtype, -bound, bound),
+    }
+
+
+def convert_unet3d_state_dict(state_dict: dict, prefix: str = "") -> dict:
+    """torch ResidualUNet3D state dict -> param pytree.
+
+    Accepts tensors or numpy arrays; keys follow the reference layout
+    (``encoders.{i}.basic_module.conv{j}.conv.weight`` etc.).
+    """
+
+    def arr(name):
+        v = state_dict[prefix + name]
+        return jnp.asarray(np.asarray(v), dtype=jnp.float32)
+
+    def block(base):
+        out = {}
+        for j in (1, 2, 3):
+            out[f"conv{j}"] = {
+                "w": arr(f"{base}.conv{j}.conv.weight"),
+                "gn_scale": arr(f"{base}.conv{j}.groupnorm.weight"),
+                "gn_bias": arr(f"{base}.conv{j}.groupnorm.bias"),
+            }
+        return out
+
+    encoders = []
+    i = 0
+    while prefix + f"encoders.{i}.basic_module.conv1.conv.weight" in state_dict:
+        encoders.append(block(f"encoders.{i}.basic_module"))
+        i += 1
+    decoders = []
+    i = 0
+    while prefix + f"decoders.{i}.basic_module.conv1.conv.weight" in state_dict:
+        dec = block(f"decoders.{i}.basic_module")
+        dec["up_w"] = arr(f"decoders.{i}.upsampling.upsample.weight")
+        dec["up_b"] = arr(f"decoders.{i}.upsampling.upsample.bias")
+        decoders.append(dec)
+        i += 1
+    return {
+        "encoders": encoders,
+        "decoders": decoders,
+        "final_w": arr("final_conv.weight"),
+        "final_b": arr("final_conv.bias"),
+    }

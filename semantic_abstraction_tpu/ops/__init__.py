@@ -6,6 +6,14 @@ from .geometry import (
     check_pts_in_frustum,
 )
 from .voxel import VoxelGrid
+from .fusion import (
+    TSDFVolume,
+    get_view_frustum,
+    meshwrite,
+    pcwrite,
+    rigid_transform,
+)
+from .marching import marching_tetrahedra
 from .sampling import (
     trilinear_sample,
     grid_sample_3d,
@@ -26,4 +34,10 @@ __all__ = [
     "resize_bilinear",
     "resize_matrix",
     "resize_bicubic_pil",
+    "TSDFVolume",
+    "get_view_frustum",
+    "meshwrite",
+    "pcwrite",
+    "rigid_transform",
+    "marching_tetrahedra",
 ]

@@ -1,0 +1,172 @@
+"""Tests for the multi-scale saliency pipeline (tile plan, preprocessing,
+jitter, accumulation, end-to-end shape/behavior)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semantic_abstraction_tpu.clip import (
+    ClipConfig,
+    ClipSaliency,
+    CropSpec,
+    SaliencyConfig,
+    chefer_et_al_config,
+    color_jitter,
+    extract_tiles,
+    init_clip_params,
+    ours_config,
+    tile_plan,
+)
+from semantic_abstraction_tpu.clip.saliency import (
+    CLIP_PIXEL_MEAN,
+    CLIP_PIXEL_STD,
+)
+
+
+def _reference_tile_loop(h, w, tile_size, stride):
+    """Transcription of the reference create_tiles loop semantics
+    (CLIP/clip/__init__.py:257-276): y over W (bounded by W-ts), x over H
+    (bounded by H-ts), with the y<H / x<W skip quirks."""
+    offs = []
+    for y in range(0, w - tile_size + 1, stride):
+        if y >= h:
+            continue
+        for x in range(0, h - tile_size + 1, stride):
+            if x >= w:
+                continue
+            offs.append((x, y))
+    return offs
+
+
+@pytest.mark.parametrize("h,w", [(480, 640), (224, 224), (300, 400)])
+def test_tile_plan_matches_reference_loop(h, w):
+    cfg = ours_config(min(h, w))
+    plans = tile_plan((h, w), cfg.crops, num_images=6)
+    assert len(plans) == 4
+    for crop, plan in zip(cfg.crops, plans):
+        ref = _reference_tile_loop(h, w, crop.tile_size, crop.stride)
+        assert plan.offsets.shape == (len(ref), 2)
+        np.testing.assert_array_equal(plan.offsets, np.asarray(ref))
+        # counts: 1e-5 + num_images per covering tile
+        count = np.full((h, w), 1e-5, np.float32)
+        for x, y in ref:
+            count[x : x + crop.tile_size, y : y + crop.tile_size] += 6
+        np.testing.assert_allclose(plan.count, count)
+
+
+def test_tile_plan_scatter_indices():
+    plans = tile_plan((32, 48), (CropSpec(16, 8),), num_images=1)
+    plan = plans[0]
+    t = plan.offsets.shape[0]
+    assert plan.scatter_idx.shape == (t, 16, 16)
+    # indices of tile k must cover exactly rows x:x+16, cols y:y+16
+    for k in range(t):
+        x, y = plan.offsets[k]
+        rows = plan.scatter_idx[k] // 48
+        cols = plan.scatter_idx[k] % 48
+        assert rows.min() == x and rows.max() == x + 15
+        assert cols.min() == y and cols.max() == y + 15
+
+
+def test_extract_tiles_matches_pil():
+    PIL = pytest.importorskip("PIL.Image")
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (64, 80, 3), dtype=np.uint8)
+    offsets = np.asarray([[0, 0], [10, 20], [32, 48]], np.int32)
+    ts = 32
+    imgs = jnp.asarray(img.transpose(2, 0, 1), jnp.float32)[None] / 255.0
+    tiles = np.asarray(extract_tiles(imgs, jnp.asarray(offsets), ts, resolution=224))
+    for k, (x, y) in enumerate(offsets):
+        crop = img[x : x + ts, y : y + ts]
+        pil = PIL.fromarray(crop).resize((224, 224), PIL.BICUBIC)
+        ref = np.asarray(pil).astype(np.float32) / 255.0
+        ref = (ref - CLIP_PIXEL_MEAN) / CLIP_PIXEL_STD
+        got = tiles[k].transpose(1, 2, 0)
+        # PIL works in uint8 fixed point between passes; allow small slack
+        assert np.abs(got - ref).mean() < 0.05
+        assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_color_jitter_valid_range_and_variation():
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.rand(3, 32, 32).astype(np.float32))
+    out1 = color_jitter(jax.random.PRNGKey(0), img)
+    out2 = color_jitter(jax.random.PRNGKey(1), img)
+    for out in (out1, out2):
+        o = np.asarray(out)
+        assert o.shape == (3, 32, 32)
+        assert o.min() >= -1e-5 and o.max() <= 1 + 1e-5
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_color_jitter_hue_identity_when_zero():
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.rand(3, 8, 8).astype(np.float32))
+    from semantic_abstraction_tpu.clip.saliency import _adjust_hue
+
+    out = np.asarray(_adjust_hue(img, 0.0))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_saliency():
+    # 2-layer ViT so gradcam's tail exists with num_layers=0
+    cfg = ClipConfig(
+        embed_dim=32, image_resolution=224, vision_layers=2, vision_width=64,
+        vision_patch_size=32, context_length=77, vocab_size=49408,
+        text_width=32, text_heads=2, text_layers=2,
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    return ClipSaliency(params, cfg, tile_batch_size=8, accum_chunk=4,
+                        num_layers=0)
+
+
+def test_saliency_end_to_end_shapes(tiny_saliency):
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16), CropSpec(32, 8)),
+        horizontal_flipping=True,
+        augmentations=1,
+    )
+    maps, feats = tiny_saliency.get_clip_saliency(
+        img, ["chair", "table", "sofa"], ["a photo of a {}"], config,
+        key=jax.random.PRNGKey(0),
+    )
+    assert maps.shape == (3, 64, 96)
+    assert feats.shape == (3, 32)
+    m = np.asarray(maps)
+    assert np.isfinite(m).all()
+    # every pixel is covered by at least the full-image-height tiles
+    assert (np.abs(m) > 0).any()
+
+
+def test_saliency_accumulation_matches_bruteforce(tiny_saliency):
+    """Fused scan+scatter accumulation == per-tile numpy accumulation."""
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(4)
+    h, w = 48, 64
+    crops = (CropSpec(32, 16),)
+    plans = tile_plan((h, w), crops, num_images=1)
+    plan = plans[0]
+    t = plan.offsets.shape[0]
+    l = 2
+    rel = rs.randn(l, t, 7, 7).astype(np.float32)
+    canvas = np.asarray(
+        tiny_saliency._accumulate(jnp.asarray(rel), plan, (h, w))
+    ).reshape(l, h, w)
+    # brute force with torch bilinear align_corners=False (the reference op)
+    ref = np.zeros((l, h, w), np.float32)
+    up = torch.nn.functional.interpolate(
+        torch.from_numpy(rel), size=32, mode="bilinear", align_corners=False
+    ).numpy()
+    for k, (x, y) in enumerate(plan.offsets):
+        ref[:, x : x + 32, y : y + 32] += up[:, k]
+    np.testing.assert_allclose(canvas, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_chefer_config_single_scale():
+    cfg = chefer_et_al_config(224)
+    assert len(cfg.crops) == 1
+    assert cfg.augmentations == 0 and not cfg.horizontal_flipping

@@ -1,0 +1,199 @@
+"""Shape/behavior tests for the 5 network variants + LAMB parity."""
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semantic_abstraction_tpu.models import (
+    RELATIONS,
+    ClipSpatialVOOLConfig,
+    SemAbs3DConfig,
+    SemAbsVOOLConfig,
+    SemanticAwareOVSSCConfig,
+    SemanticAwareVOOLConfig,
+    clip_spatial_vool_forward,
+    init_clip_spatial_vool,
+    init_semabs3d,
+    init_semabs_vool,
+    init_semantic_aware_ovssc,
+    init_semantic_aware_vool,
+    lamb,
+    semabs3d_forward,
+    semabs_vool_forward,
+    semantic_aware_ovssc_forward,
+    semantic_aware_vool_forward,
+)
+
+TINY = SemAbs3DConfig(
+    voxel_shape=(16, 16, 16),
+    unet_num_channels=8,
+    unet_f_maps=4,
+    unet_num_groups=2,
+    unet_num_levels=3,
+    pts_feat_extractor_hidden_dim=16,
+)
+
+
+def _pts(rs, b, n):
+    return jnp.asarray(rs.uniform(-1, 1.9, size=(b, n, 3)).astype(np.float32))
+
+
+def test_semabs3d_forward_shapes():
+    rs = np.random.RandomState(0)
+    params = init_semabs3d(jax.random.PRNGKey(0), TINY)
+    out = semabs3d_forward(
+        params, TINY,
+        input_xyz_pts=_pts(rs, 2, 50),
+        input_feature_pts=jnp.asarray(rs.randn(2, 3, 50, 1).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (2, 3, 40, 3)).astype(np.float32)),
+    )
+    assert out.shape == (2, 3, 40)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_semabs3d_shared_volume_broadcast():
+    """1 input patch, >1 query groups: volume is shared (net.py:411-417)."""
+    rs = np.random.RandomState(1)
+    params = init_semabs3d(jax.random.PRNGKey(0), TINY)
+    xyz = _pts(rs, 1, 30)
+    feats = jnp.asarray(rs.randn(1, 1, 30, 1).astype(np.float32))
+    out_pts = jnp.asarray(rs.uniform(-1, 1.9, (1, 4, 20, 3)).astype(np.float32))
+    out = semabs3d_forward(params, TINY, xyz, feats, out_pts)
+    assert out.shape == (1, 4, 20)
+    # same decoder weights + same shared volume: identical query points in
+    # different groups must give identical logits
+    out2 = semabs3d_forward(
+        params, TINY, xyz, feats,
+        jnp.broadcast_to(out_pts[:, :1], out_pts.shape),
+    )
+    o = np.asarray(out2)
+    np.testing.assert_allclose(o[:, 0], o[:, 3], rtol=1e-5, atol=1e-5)
+
+
+def test_semantic_aware_ovssc_shapes():
+    rs = np.random.RandomState(2)
+    cfg = SemanticAwareOVSSCConfig(
+        completion=SemAbs3DConfig(
+            voxel_shape=(16, 16, 16), unet_num_channels=8, unet_f_maps=4,
+            unet_num_groups=2, unet_num_levels=3,
+            pts_feat_extractor_hidden_dim=16,
+            network_inputs=("rgb",), output_dim=32,
+        ),
+        clip_hidden_dim=32,
+    )
+    params = init_semantic_aware_ovssc(jax.random.PRNGKey(0), cfg)
+    out = semantic_aware_ovssc_forward(
+        params, cfg,
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_feature_pts=jnp.asarray(rs.randn(1, 2, 40, 3).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 25, 3)).astype(np.float32)),
+        semantic_class_features=jnp.asarray(rs.randn(1, 2, 32).astype(np.float32)),
+    )
+    assert out.shape == (1, 2, 25)
+
+
+def test_semabs_vool_shapes():
+    rs = np.random.RandomState(3)
+    cfg = SemAbsVOOLConfig(completion=TINY, pointing_dim=8)
+    params = init_semabs_vool(jax.random.PRNGKey(0), cfg)
+    out = semabs_vool_forward(
+        params, cfg,
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_target_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        input_reference_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 30, 3)).astype(np.float32)),
+        spatial_relation_id=jnp.asarray([[0, len(RELATIONS) - 1]]),
+    )
+    assert out.shape == (1, 2, 30)
+
+
+def test_semantic_aware_vool_shapes():
+    rs = np.random.RandomState(4)
+    cfg = SemanticAwareVOOLConfig(
+        completion=SemAbs3DConfig(
+            voxel_shape=(16, 16, 16), unet_num_channels=8, unet_f_maps=4,
+            unet_num_groups=2, unet_num_levels=3,
+            pts_feat_extractor_hidden_dim=16,
+            network_inputs=("rgb",), output_dim=8,
+        ),
+        pointing_dim=8, clip_hidden_dim=16,
+    )
+    params = init_semantic_aware_vool(jax.random.PRNGKey(0), cfg)
+    out = semantic_aware_vool_forward(
+        params, cfg,
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_rgb_pts=jnp.asarray(rs.randn(1, 2, 40, 3).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 30, 3)).astype(np.float32)),
+        spatial_relation_id=jnp.asarray([[1, 5]]),
+        target_obj_features=jnp.asarray(rs.randn(1, 2, 16).astype(np.float32)),
+        reference_obj_features=jnp.asarray(rs.randn(1, 2, 16).astype(np.float32)),
+    )
+    assert out.shape == (1, 2, 30)
+
+
+def test_clip_spatial_vool_shapes():
+    rs = np.random.RandomState(5)
+    cfg = ClipSpatialVOOLConfig(completion=TINY)
+    params = init_clip_spatial_vool(jax.random.PRNGKey(0), cfg)
+    out = clip_spatial_vool_forward(
+        params, cfg,
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_description_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 30, 3)).astype(np.float32)),
+    )
+    assert out.shape == (1, 2, 30)
+
+
+def test_forward_jits_and_grads():
+    rs = np.random.RandomState(6)
+    params = init_semabs3d(jax.random.PRNGKey(0), TINY)
+    xyz = _pts(rs, 1, 30)
+    feats = jnp.asarray(rs.randn(1, 2, 30, 1).astype(np.float32))
+    out_pts = jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 20, 3)).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 2, (1, 2, 20)).astype(np.float32))
+
+    @jax.jit
+    def loss_fn(p):
+        logits = semabs3d_forward(p, TINY, xyz, feats, out_pts)
+        return jnp.mean(
+            jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
+def test_lamb_matches_reference_torch():
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location(
+        "ref_lamb", "/root/reference/arm/optim/lamb.py"
+    )
+    ref_lamb = importlib.util.module_from_spec(spec)
+    sys.modules["ref_lamb"] = ref_lamb
+    spec.loader.exec_module(ref_lamb)
+
+    rs = np.random.RandomState(0)
+    w0 = rs.randn(5, 4).astype(np.float32)
+    grads_seq = [rs.randn(5, 4).astype(np.float32) for _ in range(5)]
+
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = ref_lamb.Lamb([p], lr=1e-2, betas=(0.9, 0.999), weight_decay=1e-5)
+    for g in grads_seq:
+        opt.zero_grad()
+        p.grad = torch.from_numpy(g.copy())
+        opt.step()
+    ref_w = p.detach().numpy()
+
+    tx = lamb(1e-2, weight_decay=1e-5)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p_, u: p_ + u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), ref_w, atol=1e-6, rtol=1e-5)

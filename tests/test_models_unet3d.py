@@ -1,0 +1,85 @@
+"""Parity tests: JAX ResidualUNet3D vs the reference torch implementation.
+
+The reference unet3d.py is imported (read-only) via ref_oracle and driven
+with converted weights; outputs must match to float tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semantic_abstraction_tpu.models import (
+    convert_unet3d_state_dict,
+    init_residual_unet3d,
+    residual_unet3d,
+)
+from ref_oracle import ref_root_module
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_unet3d():
+    return ref_root_module("unet3d")
+
+
+def _state_dict_np(net):
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+@pytest.mark.parametrize(
+    "in_ch,out_ch,f_maps,num_levels,num_groups,size",
+    [
+        (4, 4, 8, 3, 4, 16),
+        (2, 5, 4, 2, 2, 8),
+    ],
+)
+def test_residual_unet3d_matches_reference(
+    ref_unet3d, in_ch, out_ch, f_maps, num_levels, num_groups, size
+):
+    torch.manual_seed(0)
+    net = ref_unet3d.ResidualUNet3D(
+        in_channels=in_ch,
+        out_channels=out_ch,
+        f_maps=f_maps,
+        num_groups=num_groups,
+        num_levels=num_levels,
+    ).eval()
+    x = np.random.RandomState(1).randn(2, in_ch, size, size, size).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    params = convert_unet3d_state_dict(_state_dict_np(net))
+    out = np.asarray(residual_unet3d(params, jnp.asarray(x), num_groups=num_groups))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_unet3d_init_shapes_match_converted(ref_unet3d):
+    torch.manual_seed(0)
+    net = ref_unet3d.ResidualUNet3D(
+        in_channels=3, out_channels=6, f_maps=8, num_groups=4, num_levels=3
+    )
+    converted = convert_unet3d_state_dict(_state_dict_np(net))
+    ours = init_residual_unet3d(
+        jax.random.PRNGKey(0), in_channels=3, out_channels=6, f_maps=8, num_levels=3
+    )
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, converted)
+    our_shapes = jax.tree_util.tree_map(lambda a: a.shape, ours)
+    assert ref_shapes == our_shapes
+
+
+def test_unet3d_bf16_compute_close_to_fp32(ref_unet3d):
+    torch.manual_seed(2)
+    net = ref_unet3d.ResidualUNet3D(
+        in_channels=2, out_channels=2, f_maps=4, num_groups=2, num_levels=2
+    ).eval()
+    params = convert_unet3d_state_dict(_state_dict_np(net))
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 2, 8, 8, 8).astype(np.float32))
+    full = np.asarray(residual_unet3d(params, x, num_groups=2))
+    half = np.asarray(
+        residual_unet3d(params, x, num_groups=2, compute_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    # bf16 matmuls: loose tolerance, but must be structurally the same
+    assert np.abs(full - half).mean() < 0.1
