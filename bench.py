@@ -1,0 +1,85 @@
+"""Headline benchmark: multi-scale relevancy maps/sec/chip.
+
+Reproduces the reference's flagship workload — ``generate_relevancy.py
+image`` (reference: generate_relevancy.py:394-451): a 9-label multi-scale
+"ours"-config saliency extraction over a 640x480 image (4 crop scales x
+(1 + 5 jitter augs) x horizontal flip, reference CLIP/clip/__init__.py:19-31)
+with ViT-B/32 — and measures end-to-end maps/sec on one chip.
+
+The reference publishes no throughput number (BASELINE.md); the only
+instrumentation is the un-recorded wall-clock print at
+generate_relevancy.py:431. ``vs_baseline`` is therefore reported against a
+conservative RTX 3090 estimate of 0.36 maps/s (the reference takes tens of
+seconds for its 9 maps on a 3090-class GPU: ~3.4k tile fwd+9-label-bwd
+passes in serial python loops; 25 s -> 9/25 = 0.36). The driver's
+north-star target is >=20x that (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_3090_MAPS_PER_SEC = 0.36  # estimated; see module docstring
+
+
+def main():
+    import jax
+
+    # persistent compile cache: first-ever run pays remote compiles once;
+    # driver re-runs then start hot
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from semantic_abstraction_tpu.clip import (
+        ClipSaliency,
+        VIT_B_32,
+        init_clip_params,
+        ours_config,
+    )
+
+    labels = [
+        "basketball jersey", "nintendo switch", "television",
+        "ping pong table", "vase", "fireplace",
+        "abstract painting of a vespa", "carpet", "wall",
+    ]
+    h, w = 480, 640
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (h, w, 3), dtype=np.uint8)
+
+    params = init_clip_params(jax.random.PRNGKey(0), VIT_B_32)
+    sal = ClipSaliency(params, VIT_B_32, compute_dtype=jnp.bfloat16,
+                       tile_batch_size=32)
+    config = ours_config(h)
+
+    # warmup: compile every (scale, chunk) shape once
+    maps, _ = sal.get_clip_saliency(
+        img, labels, ["a photograph of a {} in a home."], config,
+        key=jax.random.PRNGKey(0),
+    )
+    maps.block_until_ready()
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        maps, _ = sal.get_clip_saliency(
+            img, labels, ["a photograph of a {} in a home."], config,
+            key=jax.random.PRNGKey(i + 1),
+        )
+        maps.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    maps_per_sec = len(labels) / best
+    print(json.dumps({
+        "metric": "relevancy_maps_per_sec_per_chip",
+        "value": round(maps_per_sec, 3),
+        "unit": "maps/s (ours config, 480x640, 9 labels, ViT-B/32)",
+        "vs_baseline": round(maps_per_sec / REFERENCE_3090_MAPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

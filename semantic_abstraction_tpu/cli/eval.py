@@ -1,0 +1,97 @@
+"""Evaluation CLI: cutoff-sweep eval over all non-train splits.
+
+Reference: eval.py:16-93. Restores the experiment args.pkl next to the
+checkpoint (overriding everything but file_path/load/task), forces
+batch 1 / no DR / no balanced sampling, sweeps cutoffs
+arange(-2.5, 0, 0.1) — here as ONE vmapped device pass per batch instead
+of 25 python passes — and dumps `<ckpt>_eval_stats.pkl`.
+
+  python -m semantic_abstraction_tpu.cli.eval \
+      --file_path DATASET_DIR --load CKPT --task ovssc|vool
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+
+
+def main(argv=None):
+    from . import common
+
+    parser = common.config_parser()
+    parser.add_argument("--task", choices=["ovssc", "vool"], required=True)
+    parser.add_argument(
+        "--approach",
+        choices=["semantic_abstraction", "semantic_aware", "clip_spatial"],
+        default="semantic_abstraction",
+    )
+    parser.add_argument("--clip-ckpt", type=str, default=None)
+    parser.add_argument("--max_batches", type=int, default=None)
+    args = parser.parse_args(argv)
+    common.setup_logging()
+
+    args_pkl = os.path.join(os.path.dirname(args.load), "args.pkl")
+    if os.path.exists(args_pkl):
+        saved = common.load_args(args_pkl)
+        for k, v in saved.items():
+            if k in ("file_path", "load", "task", "num_devices", "max_batches",
+                     "clip_ckpt"):
+                continue
+            setattr(args, k, v)
+    args.domain_randomization = False
+    args.batch_size = 1
+    args.balance_spatial_sampling = False
+
+    import numpy as np
+
+    from ..parallel import make_mesh
+    from ..runtime.experiment import (
+        eval_cutoffs_for,
+        run_eval_split,
+        setup_experiment,
+    )
+    from ..runtime.train import make_eval_step
+    from ..data import DataLoader
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    setup = setup_experiment(args, task=args.task, approach=args.approach,
+                             return_vis=True)
+    state = setup["state"]
+    compute_dtype = (
+        jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    )
+    eval_step = make_eval_step(setup["forward_loss"], setup["cfg"],
+                               compute_dtype=compute_dtype)
+    text_encoder = None
+    if args.task == "vool" and args.approach == "semantic_aware":
+        from .train_vool import make_text_encoder
+
+        text_encoder = make_text_encoder(args)
+
+    bounds = setup["datasets"][next(iter(setup["datasets"]))].cfg.scene_bounds
+    cutoffs = tuple(float(c) for c in np.arange(-2.5, 0, 0.1))
+    all_stats = []
+    for split, ds in setup["datasets"].items():
+        if split == "train":
+            continue
+        loader = DataLoader(ds, batch_size=1, num_workers=args.num_workers,
+                            shuffle=False, seed=args.seed)
+        means, detailed = run_eval_split(
+            state, eval_step, loader, args.task, bounds, cutoffs,
+            voxel_shapes=((32, 32, 32), (64, 64, 64)),
+            text_encoder=text_encoder, max_batches=args.max_batches,
+        )
+        detailed["split"] = split
+        detailed["epoch"] = setup["start_epoch"]
+        all_stats.append(detailed)
+        logging.info("%s: %s", split, means)
+        stats_path = os.path.splitext(args.load)[0] + "_eval_stats.pkl"
+        pd.concat(all_stats, ignore_index=True).to_pickle(stats_path)
+        logging.info("dumped stats to %s", stats_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Relevancy-generation CLI: `image` demo + `dataset` HDF5 writer.
+
+TPU-native re-architecture of the reference CLI (reference:
+generate_relevancy.py — ``image`` :394-451, ``dataset`` :149-391,
+``generate_saliency_helper`` :63-146). The reference fans a Ray actor
+pool of ClipWrapper GPUs over scenes; on TPU the extractor is already
+device-batched (tiles x labels x augs in one jitted pipeline), so the
+dataset path is a simple sequential sweep with the device saturated per
+scene — no actor pool to manage. FileLock still guards HDF5 writes so
+multiple hosts can shard scenes.
+
+Usage:
+  python -m semantic_abstraction_tpu.cli.generate_relevancy image IMG \
+      [--labels ...] [--prompts ...] [--random-weights | --clip-ckpt PATH]
+  python -m semantic_abstraction_tpu.cli.generate_relevancy dataset DIR \
+      [--num-shards N --shard-id I] [--random-weights | --clip-ckpt PATH]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_LABELS = [
+    "basketball jersey",
+    "nintendo switch",
+    "television",
+    "ping pong table",
+    "vase",
+    "fireplace",
+    "abstract painting of a vespa",
+    "carpet",
+    "wall",
+]
+DEFAULT_PROMPT = "a photograph of a {} in a home."
+
+
+def build_saliency(args):
+    import jax.numpy as jnp
+
+    from ..clip import VIT_B_32, ClipSaliency, init_clip_params, load_clip_checkpoint
+
+    if args.clip_ckpt:
+        params, cfg = load_clip_checkpoint(args.clip_ckpt)
+    else:
+        if not args.random_weights:
+            raise SystemExit(
+                "no --clip-ckpt given; pass --random-weights to run with "
+                "randomly initialized CLIP (throughput/debug only)"
+            )
+        import jax
+
+        cfg = VIT_B_32
+        params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    return ClipSaliency(params, cfg, compute_dtype=dtype,
+                        tile_batch_size=args.tile_batch_size)
+
+
+def cmd_image(args):
+    import imageio.v2 as imageio
+    import jax
+
+    from ..clip import saliency_configs
+
+    img = np.asarray(imageio.imread(args.file_path))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    img = img[..., :3]
+    assert img.dtype == np.uint8
+    sal = build_saliency(args)
+    config = saliency_configs[args.saliency_config](img.shape[0])
+    start = time.time()
+    grads, _ = sal.get_clip_saliency(
+        img, args.labels, [args.prompt], config, key=jax.random.PRNGKey(args.seed)
+    )
+    grads = np.asarray(grads)
+    print(f"get gradcam took {time.time() - start} seconds", grads.shape)
+    grads = grads - grads.mean(axis=0)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(args.labels)
+    rows = int(np.ceil(np.sqrt(n)))
+    cols = int(np.ceil(n / rows))
+    fig, axes = plt.subplots(rows, cols, squeeze=False)
+    axes = axes.flatten()
+    vmin, vmax = 0.002, 0.008
+    cmap = plt.get_cmap("jet")
+    for ax in axes:
+        ax.axis("off")
+    for ax, label_grad, label in zip(axes, grads, args.labels):
+        ax.imshow(img)
+        ax.set_title(label, fontsize=10)
+        g = np.clip((label_grad - vmin) / (vmax - vmin), 0.0, 1.0)
+        colored = cmap(g)
+        colored[..., -1] = (1 - g) * 0.7
+        ax.imshow(colored)
+    plt.tight_layout(pad=0)
+    plt.savefig(args.output)
+    print(f"dumped relevancy to {args.output}")
+
+
+def _scene_labels(f, use_gt=True):
+    """Assemble the per-scene label set: visible classes + description
+    sentences + synonyms + 'mean' (reference generate_relevancy.py:225-346)."""
+    from ..data.datasets import SYNONYMS
+    from ..data.hdf5 import deref_h5py
+
+    labels = set()
+    g = f["data"]
+    object_labels = np.array(g["objid_to_class"]).astype(str)
+    if "seg" in g and use_gt:
+        visible = set(
+            np.unique(deref_h5py(f["seg"], g["seg"])[0]).astype(int).tolist()
+        ) - {-1}
+        for objid in visible:
+            if 0 <= objid < len(object_labels):
+                name = object_labels[objid].split("[")[0]
+                if name not in {"empty", "out of bounds", "unlabelled"}:
+                    labels.add(name)
+    else:
+        for lab in object_labels:
+            name = lab.split("[")[0]
+            if name not in {"empty", "out of bounds", "unlabelled"}:
+                labels.add(name)
+    sentences = set()
+    if "descriptions" in g:
+        dg = g["descriptions"]
+        t = np.array(dg["target_obj_name"]).astype(str)
+        r = np.array(dg["reference_obj_name"]).astype(str)
+        rel = np.array(dg["spatial_relation_name"]).astype(str)
+        labels.update(t.tolist())
+        labels.update(r.tolist())
+        for a, b, c in zip(t, rel, r):
+            sentences.add(f"{a} {b} a {c}")
+            if any(s in (a, b) for s in SYNONYMS):
+                sentences.add(
+                    f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}"
+                )
+    labels.update(SYNONYMS[l] for l in list(labels) if l in SYNONYMS)
+    return sorted(labels) + sorted(sentences)
+
+
+def cmd_dataset(args):
+    import h5py
+    import jax
+    from filelock import FileLock
+
+    from ..clip import saliency_configs
+    from ..data.hdf5 import deref_h5py, resize_and_add_data
+
+    sal = build_saliency(args)
+    scene_files = sorted(Path(args.file_path).glob("**/*.hdf5"))
+    scene_files = scene_files[args.shard_id :: args.num_shards]
+    logging.info("processing %d scenes", len(scene_files))
+    rgb_keys = ["rgb"] + (
+        ["domain_randomized_rgb"] if args.include_domain_randomized else []
+    )
+    for si, path in enumerate(scene_files):
+        with h5py.File(path, "r") as f:
+            done = all(
+                f"data/saliencies/{k}|{args.saliency_config}" in f for k in rgb_keys
+            )
+        if done and not args.overwrite:
+            continue
+        with h5py.File(path, "r") as f:
+            labels = _scene_labels(f)
+            images = {}
+            for k in rgb_keys:
+                if k == "rgb":
+                    images[k] = deref_h5py(f["rgb"], f["data/rgb"])[0].astype(np.uint8)
+                elif k in f["data"]:
+                    images[k] = np.array(f["data"][k][0]).astype(np.uint8)
+        if not labels:
+            continue
+        all_labels = labels + ["mean"]
+        for rgb_key, img in images.items():
+            config = saliency_configs[args.saliency_config](img.shape[0])
+            maps, feats = sal.get_clip_saliency(
+                img, labels, [args.prompt], config,
+                key=jax.random.PRNGKey(args.seed + si),
+            )
+            maps = np.asarray(maps, np.float32)
+            feats = np.asarray(feats, np.float32)
+            mean_map = maps.mean(axis=0, keepdims=True)
+            maps = np.concatenate([maps, mean_map], axis=0)
+            feats = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
+            # downsample maps for storage parity with the reference's
+            # relevancy_shape (stored at reduced res, resized at read)
+            if args.store_shape:
+                from ..data.transforms import resize_bilinear_np
+
+                maps = resize_bilinear_np(maps, tuple(args.store_shape)).astype(
+                    np.float32
+                )
+            prefix = f"data/saliencies/{rgb_key}|{args.saliency_config}"
+            with FileLock(str(path) + ".lock"):
+                with h5py.File(path, "a") as f:
+                    if prefix in f:
+                        del f[prefix]
+                    for suffix in ("|saliency_text_labels",
+                                   "|saliency_text_label_features"):
+                        if prefix + suffix in f:
+                            del f[prefix + suffix]
+                    if "saliencies" not in f:
+                        f.create_dataset(
+                            "saliencies", shape=(0,) + maps.shape[1:],
+                            maxshape=(None,) + maps.shape[1:],
+                            chunks=(1,) + maps.shape[1:],
+                            compression="gzip", compression_opts=9, dtype="f",
+                        )
+                    refs = resize_and_add_data(f["saliencies"], maps)
+                    f[prefix] = np.array(refs, dtype=h5py.regionref_dtype)
+                    f[prefix + "|saliency_text_labels"] = np.array(
+                        all_labels, dtype="S128"
+                    )
+                    f[prefix + "|saliency_text_label_features"] = feats
+        logging.info("[%d/%d] %s: %d labels", si + 1, len(scene_files),
+                     path.name, len(all_labels))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="generate_relevancy")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_common(p):
+        p.add_argument("--clip-ckpt", type=str, default=None)
+        p.add_argument("--random-weights", action="store_true")
+        p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
+                       default="bfloat16")
+        p.add_argument("--tile_batch_size", type=int, default=32)
+        p.add_argument("--saliency_config", choices=["ours", "chefer_et_al"],
+                       default="ours")
+        p.add_argument("--prompt", type=str, default=DEFAULT_PROMPT)
+        p.add_argument("--seed", type=int, default=0)
+
+    pi = sub.add_parser("image", help="single-image relevancy demo")
+    pi.add_argument("file_path", type=str, nargs="?", default="matterport.png")
+    pi.add_argument("--labels", type=str, nargs="+", default=DEFAULT_LABELS)
+    pi.add_argument("--output", type=str, default="grads.png")
+    add_common(pi)
+
+    pd = sub.add_parser("dataset", help="write relevancies into scene HDF5s")
+    pd.add_argument("file_path", type=str)
+    pd.add_argument("--num-shards", dest="num_shards", type=int, default=1)
+    pd.add_argument("--shard-id", dest="shard_id", type=int, default=0)
+    pd.add_argument("--overwrite", action="store_true")
+    pd.add_argument("--include-domain-randomized", action="store_true")
+    pd.add_argument("--store-shape", type=int, nargs=2, default=None)
+    add_common(pd)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    if args.command == "image":
+        cmd_image(args)
+    else:
+        cmd_dataset(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,49 +238,60 @@ def encode_image(params: dict, pixels: jax.Array, cfg: ClipConfig, compute_dtype
     return feats
 
 
-def _init_blocks(key, layers, width, scale_attn, scale_proj, scale_fc):
-    ks = jax.random.split(key, 4)
+def _init_blocks(rs, layers, width, scale_attn, scale_proj, scale_fc):
+    def normal(shape, scale):
+        return jnp.asarray(rs.randn(*shape).astype(np.float32) * scale)
+
     return {
         "ln_1": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
         "ln_2": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
-        "w_qkv": jax.random.normal(ks[0], (layers, width, 3 * width)) * scale_attn,
+        "w_qkv": normal((layers, width, 3 * width), scale_attn),
         "b_qkv": jnp.zeros((layers, 3 * width)),
-        "w_out": jax.random.normal(ks[1], (layers, width, width)) * scale_proj,
+        "w_out": normal((layers, width, width), scale_proj),
         "b_out": jnp.zeros((layers, width)),
-        "w_fc": jax.random.normal(ks[2], (layers, width, 4 * width)) * scale_fc,
+        "w_fc": normal((layers, width, 4 * width), scale_fc),
         "b_fc": jnp.zeros((layers, 4 * width)),
-        "w_proj": jax.random.normal(ks[3], (layers, 4 * width, width)) * scale_proj,
+        "w_proj": normal((layers, 4 * width, width), scale_proj),
         "b_proj": jnp.zeros((layers, width)),
     }
 
 
 def init_clip_params(key: jax.Array, cfg: ClipConfig = VIT_B_32) -> dict:
-    """Random init mirroring reference scales (model_explainability.py:418-452)."""
-    kv, kt, ke, kp, kc, kx = jax.random.split(key, 6)
+    """Random init mirroring reference scales (model_explainability.py:418-452).
+
+    Draws on the HOST with numpy (seeded from ``key``): on TPU,
+    device-side random init compiles one kernel per tensor (~15 remote
+    compiles, minutes of wall clock) for weights that are random anyway.
+    """
+    seed = int(np.asarray(jax.random.key_data(key)).reshape(-1)[-1]) % (2**31)
+    rs = np.random.RandomState(seed)
     vw, tw = cfg.vision_width, cfg.text_width
     vscale = vw**-0.5
+
+    def normal(shape, scale):
+        return jnp.asarray(rs.randn(*shape).astype(np.float32) * scale)
+
     visual = {
-        "patch_embed": jax.random.normal(kp, (3 * cfg.vision_patch_size**2, vw))
-        * vscale,
-        "class_embedding": jax.random.normal(kc, (vw,)) * vscale,
-        "pos_embed": jax.random.normal(kx, (cfg.vision_tokens, vw)) * vscale,
+        "patch_embed": normal((3 * cfg.vision_patch_size**2, vw), vscale),
+        "class_embedding": normal((vw,), vscale),
+        "pos_embed": normal((cfg.vision_tokens, vw), vscale),
         "ln_pre": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
         "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
         "blocks": _init_blocks(
-            kv, cfg.vision_layers, vw, vw**-0.5,
+            rs, cfg.vision_layers, vw, vw**-0.5,
             (vw**-0.5) * ((2 * cfg.vision_layers) ** -0.5), (2 * vw) ** -0.5,
         ),
-        "proj": jax.random.normal(kv, (vw, cfg.embed_dim)) * vscale,
+        "proj": normal((vw, cfg.embed_dim), vscale),
     }
     text = {
-        "token_embedding": jax.random.normal(ke, (cfg.vocab_size, tw)) * 0.02,
-        "pos_embed": jax.random.normal(kt, (cfg.context_length, tw)) * 0.01,
+        "token_embedding": normal((cfg.vocab_size, tw), 0.02),
+        "pos_embed": normal((cfg.context_length, tw), 0.01),
         "blocks": _init_blocks(
-            kt, cfg.text_layers, tw, tw**-0.5,
+            rs, cfg.text_layers, tw, tw**-0.5,
             (tw**-0.5) * ((2 * cfg.text_layers) ** -0.5), (2 * tw) ** -0.5,
         ),
         "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
-        "projection": jax.random.normal(kt, (tw, cfg.embed_dim)) * tw**-0.5,
+        "projection": normal((tw, cfg.embed_dim), tw**-0.5),
     }
     return {
         "visual": visual,

@@ -92,9 +92,11 @@ saliency_configs = {"ours": ours_config, "chefer_et_al": chefer_et_al_config}
 @dataclasses.dataclass(frozen=True)
 class ScalePlan:
     tile_size: int
+    stride: int
+    nx: int  # tiles along rows (x offsets = arange(nx) * stride)
+    ny: int  # tiles along cols
     offsets: np.ndarray  # (T, 2) int32 rows (x) / cols (y), per base image
     count: np.ndarray  # (H, W) float32 accumulation normalizer (all images)
-    scatter_idx: np.ndarray  # (T, tile, tile) int32 linear canvas indices
 
 
 @functools.lru_cache(maxsize=64)
@@ -102,29 +104,25 @@ def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
               num_images: int) -> Tuple[ScalePlan, ...]:
     """Static crop plan for an (H, W) image (reference create_tiles
     :238-282, including its y<H / x<W skip quirks and the 1e-5-seeded
-    per-scale count canvases)."""
+    per-scale count canvases).
+
+    Tiles always form a REGULAR (nx, ny) grid with spacing ``stride``
+    (the reference loops arange(0, limit, stride) and only skips a
+    suffix), which the accumulator exploits to avoid scatters entirely.
+    """
     h, w = hw
     plans = []
     for crop in crops:
         ts, stride = crop.tile_size, crop.stride
-        offs = []
-        for y in range(0, w - ts + 1, stride):
-            if y >= h:
-                continue
-            for x in range(0, h - ts + 1, stride):
-                if x >= w:
-                    continue
-                offs.append((x, y))
+        ys = [y for y in range(0, w - ts + 1, stride) if y < h]
+        xs = [x for x in range(0, h - ts + 1, stride) if x < w]
+        # reference iterates y (cols) outer, x (rows) inner
+        offs = [(x, y) for y in ys for x in xs]
         offsets = np.asarray(offs, dtype=np.int32).reshape(-1, 2)
         count = np.full((h, w), 1e-5, dtype=np.float32)
         for x, y in offs:
             count[x : x + ts, y : y + ts] += float(num_images)
-        rr = np.arange(ts, dtype=np.int64)
-        lin = (
-            (offsets[:, 0:1, None] + rr[None, :, None]) * w
-            + (offsets[:, 1:2, None] + rr[None, None, :])
-        ).astype(np.int32)
-        plans.append(ScalePlan(ts, offsets, count, lin))
+        plans.append(ScalePlan(ts, stride, len(xs), len(ys), offsets, count))
     return tuple(plans)
 
 
@@ -338,47 +336,51 @@ class ClipSaliency:
         return rel[:, :n]
 
     def _accumulate(self, rel: jax.Array, plan: ScalePlan,
-                    hw: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
-        """(L, T, g, g) tile relevancies -> (L, H*W) canvas sum."""
-        sig = (rel.shape, plan.tile_size, hw)
+                    hw: Tuple[int, int], n_images: int) -> jax.Array:
+        """(L, I*ny*nx, g, g) tile relevancies -> (L, H, W) canvas sum.
+
+        SCATTER-FREE overlap-add: tiles form a regular (nx, ny) grid with
+        spacing ``stride``, so each tile covers k = ceil(ts/stride)
+        stride-cells per dim. Summing the (linear) contributions over the
+        image axis first, the canvas is k*k dense shifted slice-adds of
+        MXU-upsampled s-blocks — no scatter, no serialization. (XLA TPU
+        scatter over ~230k indices was the pathological bottleneck of the
+        naive port of reference __init__.py:205-233.)
+        """
+        ts, s, nx, ny = plan.tile_size, plan.stride, plan.nx, plan.ny
+        sig = (rel.shape, ts, s, nx, ny, hw, n_images)
         if sig not in self._accum_jit:
-            ts = plan.tile_size
             g = rel.shape[-1]
-            up = jnp.asarray(resize_matrix(g, ts, "bilinear_torch"))
-            chunk = self.accum_chunk
+            k = -(-ts // s)  # ceil
+            up = np.zeros((k * s, g), np.float32)
+            up[:ts] = resize_matrix(g, ts, "bilinear_torch")
             h, w = hw
 
-            def accum(rel_, scatter_idx):
-                l, t = rel_.shape[:2]
-                pad = (-t) % chunk
-                if pad:
-                    rel_ = jnp.concatenate(
-                        [rel_, jnp.zeros((l, pad) + rel_.shape[2:], rel_.dtype)],
-                        axis=1,
-                    )
-                    scatter_idx = jnp.concatenate(
-                        [scatter_idx, jnp.broadcast_to(
-                            scatter_idx[:1], (pad,) + scatter_idx.shape[1:]
-                        )], axis=0,
-                    )
-                nchunks = rel_.shape[1] // chunk
-                rel_c = rel_.reshape(l, nchunks, chunk, g, g).transpose(1, 0, 2, 3, 4)
-                idx_c = scatter_idx.reshape(nchunks, chunk * ts * ts)
-
-                def body(canvas, inp):
-                    r, idx = inp
-                    big = jnp.einsum("lcgh,og->lcoh", r, up)
-                    big = jnp.einsum("lcoh,ph->lcop", big, up)
-                    return canvas.at[:, idx].add(
-                        big.reshape(l, -1), mode="drop"
-                    ), None
-
-                canvas = jnp.zeros((l, h * w), jnp.float32)
-                canvas, _ = jax.lax.scan(body, canvas, (rel_c, idx_c))
-                return canvas
+            def accum(rel_):
+                l = rel_.shape[0]
+                gsum = rel_.reshape(l, n_images, ny, nx, g, g).sum(axis=1)
+                cells = jnp.zeros((l, nx + k - 1, ny + k - 1, s, s), jnp.float32)
+                for di in range(k):
+                    rrow = jnp.asarray(up[di * s : (di + 1) * s])
+                    for dj in range(k):
+                        rcol = jnp.asarray(up[dj * s : (dj + 1) * s])
+                        block = jnp.einsum(
+                            "lyxgh,pg,qh->lxypq", gsum, rrow, rcol
+                        )
+                        cells = cells.at[
+                            :, di : di + nx, dj : dj + ny
+                        ].add(block)
+                big = cells.transpose(0, 1, 3, 2, 4).reshape(
+                    l, (nx + k - 1) * s, (ny + k - 1) * s
+                )
+                bh, bw = big.shape[1:]
+                big = jnp.pad(
+                    big, ((0, 0), (0, max(0, h - bh)), (0, max(0, w - bw)))
+                )
+                return big[:, :h, :w]
 
             self._accum_jit[sig] = jax.jit(accum)
-        return self._accum_jit[sig](rel, jnp.asarray(plan.scatter_idx))
+        return self._accum_jit[sig](rel)
 
     def get_clip_saliency(
         self,
@@ -422,7 +424,7 @@ class ClipSaliency:
         else:
             images = base[None]
 
-        total = jnp.zeros((zw.shape[1], h * w), jnp.float32)
+        total = jnp.zeros((zw.shape[1], h, w), jnp.float32)
         for plan in plans:
             if plan.offsets.shape[0] == 0:
                 continue
@@ -434,12 +436,7 @@ class ClipSaliency:
             tiles = self._extract_jit[esig](images, jnp.asarray(plan.offsets))
             rel = self._run_tiles(
                 tiles, zw, config.positive_attn_only, config.horizontal_flipping
-            )  # (L, I*T, 7, 7)
-            # scatter indices repeat per augmented image
-            idx = np.tile(plan.scatter_idx, (n_images, 1, 1))
-            canvas = self._accumulate(
-                rel, ScalePlan(plan.tile_size, plan.offsets, plan.count, idx),
-                (h, w),
-            )
-            total = total + canvas / jnp.asarray(plan.count.reshape(-1))[None]
-        return (total / len(plans)).reshape(zw.shape[1], h, w)
+            )  # (L, I*ny*nx, g, g)
+            canvas = self._accumulate(rel, plan, (h, w), n_images)
+            total = total + canvas / jnp.asarray(plan.count)[None]
+        return total / len(plans)

@@ -1,0 +1,160 @@
+"""Host-side numpy geometry + subsampling for the input pipeline.
+
+Numpy equivalents of the reference's dataset-side geometry (reference:
+point_cloud.py get_pointcloud :34-66 / check_pts_in_frustum :88-110 /
+filter_pts_bounds :24-31; dataset.py transform_filter_subsample :106-166;
+transforms3d euler/affines usage at dataset.py:521-534, :1164-1178).
+
+These run in loader workers on the host — the device boundary is the
+fixed-shape batch, so all ragged filtering/sampling stays here in numpy.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def depth_to_pointcloud_np(depth: np.ndarray, cam_intr: np.ndarray,
+                           cam_pose: Optional[np.ndarray] = None) -> np.ndarray:
+    """(H, W) depth -> (H*W, 3) points (camera or world frame)."""
+    h, w = depth.shape
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    z = depth.astype(np.float64)
+    x = (xx - cam_intr[0, 2]) * z / cam_intr[0, 0]
+    y = (yy - cam_intr[1, 2]) * z / cam_intr[1, 1]
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    if cam_pose is not None:
+        pts = pts @ np.asarray(cam_pose)[:3, :3].T + np.asarray(cam_pose)[:3, 3]
+    return pts.astype(np.float32)
+
+
+def check_pts_in_frustum_np(xyz_pts: np.ndarray, depth_shape,
+                            cam_pose: np.ndarray,
+                            cam_intr: np.ndarray) -> np.ndarray:
+    h, w = depth_shape
+    inv = np.linalg.inv(np.asarray(cam_pose, dtype=np.float64))
+    cam = xyz_pts @ inv[:3, :3].T + inv[:3, 3]
+    z = cam[:, 2]
+    safe_z = np.where(z == 0, 1e-12, z)
+    px = cam_intr[0, 0] / safe_z * cam[:, 0] + cam_intr[0, 2]
+    py = cam_intr[1, 1] / safe_z * cam[:, 1] + cam_intr[1, 2]
+    return (px >= 0) & (px < w) & (py >= 0) & (py < h) & (z > 0)
+
+
+def filter_pts_bounds_np(xyz_pts: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    b = np.asarray(bounds)
+    return np.all((xyz_pts >= b[0]) & (xyz_pts <= b[1]), axis=-1)
+
+
+def euler2mat(ai: float, aj: float, ak: float) -> np.ndarray:
+    """sxyz-convention Euler angles -> 3x3 rotation (transforms3d default)."""
+    si, sj, sk = np.sin(ai), np.sin(aj), np.sin(ak)
+    ci, cj, ck = np.cos(ai), np.cos(aj), np.cos(ak)
+    cc, cs = ci * ck, ci * sk
+    sc, ss = si * ck, si * sk
+    return np.array(
+        [
+            [cj * ck, sj * sc - cs, sj * cc + ss],
+            [cj * sk, sj * ss + cc, sj * cs - sc],
+            [-sj, cj * si, cj * ci],
+        ]
+    )
+
+
+def compose_affine(t: np.ndarray, r: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """4x4 homogeneous from translation, rotation, per-axis scale
+    (transforms3d.affines.compose semantics)."""
+    m = np.eye(4)
+    m[:3, :3] = r @ np.diag(z)
+    m[:3, 3] = t
+    return m
+
+
+def random_domain_transform(rng: np.random.RandomState, scene_bounds: np.ndarray,
+                            dr_pos: float, dr_orn: float,
+                            dr_scale: float) -> np.ndarray:
+    """Random affine domain randomization (reference dataset.py:521-534)."""
+    dims = scene_bounds[1] - scene_bounds[0]
+    t = rng.randn(3) * dims * dr_pos
+    r = euler2mat(
+        (rng.rand() - 0.5) * dr_orn,
+        (rng.rand() - 0.5) * dr_orn,
+        (rng.rand() - 0.5) * dr_orn,
+    )
+    z = rng.rand(3) * dr_scale + 1.0
+    return compose_affine(t, r, z).astype(np.float32)
+
+
+def transform_filter_subsample(
+    xyz_pts: np.ndarray,
+    scene_bounds: np.ndarray,
+    num_subsample_pts: int,
+    subsample_probabilities: np.ndarray,
+    always_replace_pts: bool,
+    rng: np.random.RandomState,
+    transform_matrix: Optional[np.ndarray] = None,
+    **arrays,
+) -> Dict[str, Optional[np.ndarray]]:
+    """Transform -> in-bounds filter -> weighted subsample
+    (reference dataset.py:106-166). Side arrays are filtered along axis 0
+    when their leading dim matches the point count, else along axis 1;
+    sampling falls back to replace=True when the draw fails."""
+    n = len(xyz_pts)
+    if transform_matrix is not None:
+        xyz_pts = xyz_pts @ transform_matrix[:3, :3].T + transform_matrix[:3, 3]
+    mask = filter_pts_bounds_np(xyz_pts, scene_bounds)
+    out = {"xyz_pts": xyz_pts[mask]}
+    probs = np.asarray(subsample_probabilities, np.float64)[mask]
+    s = probs.sum()
+    probs = probs / s if s > 0 else np.full(mask.sum(), 1.0 / max(mask.sum(), 1))
+    for k, v in arrays.items():
+        if v is None:
+            out[k] = None
+        elif v.shape[0] == n:
+            out[k] = v[mask]
+        elif v.ndim > 1 and v.shape[1] == n:
+            out[k] = v[:, mask]
+        else:
+            raise ValueError(f"{k}: shape {v.shape} vs {n} points")
+    if num_subsample_pts == -1:
+        return out
+    m = len(out["xyz_pts"])
+    try:
+        idx = rng.choice(m, size=num_subsample_pts, p=probs,
+                         replace=always_replace_pts)
+    except ValueError:
+        idx = rng.choice(m, size=num_subsample_pts, p=probs, replace=True)
+    result = {}
+    for k, v in out.items():
+        if v is None:
+            result[k] = None
+        elif v.shape[0] == m:
+            result[k] = v[idx]
+        else:
+            result[k] = v[:, idx]
+    return result
+
+
+def resize_bilinear_np(maps: np.ndarray, out_hw) -> np.ndarray:
+    """(..., H, W) bilinear resize, torch align_corners=False weights
+    (shares the verified resize-matrix kernel with the device path)."""
+    from ..ops.sampling import resize_matrix
+
+    h, w = maps.shape[-2], maps.shape[-1]
+    rm = resize_matrix(h, out_hw[0], "bilinear_torch")
+    cm = resize_matrix(w, out_hw[1], "bilinear_torch")
+    out = np.einsum("...hw,oh->...ow", maps, rm)
+    return np.einsum("...ow,pw->...op", out, cm)
+
+
+def balanced_subsample_probabilities(labels_row: np.ndarray) -> np.ndarray:
+    """Per-patch positive/negative balancing weights
+    (reference dataset.py:903-935)."""
+    n = len(labels_row)
+    p = np.ones(n, np.float64)
+    pos = labels_row.astype(bool)
+    if pos.any() and not pos.all():
+        p[pos] = n / pos.sum()
+        p[~pos] = n / (~pos).sum()
+    return p / p.sum()

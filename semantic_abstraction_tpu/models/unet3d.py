@@ -58,14 +58,16 @@ _DIMNUMS = ("NCDHW", "OIDHW", "NCDHW")
 
 def conv3d(x: jax.Array, w: jax.Array, bias=None, stride: int = 1,
            padding: int = 1) -> jax.Array:
+    # bf16 operands hit the MXU with fp32 accumulation by default on TPU;
+    # an explicit preferred_element_type=f32 would break the conv VJP
+    # (bf16 input x f32 cotangent dtype mismatch)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride,) * 3,
         padding=[(padding, padding)] * 3,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape(1, -1, 1, 1, 1)
     return out
@@ -90,8 +92,7 @@ def conv_transpose3d(x: jax.Array, w_t: jax.Array, bias=None, stride: int = 2,
         padding=[(lo, hi)] * 3,
         lhs_dilation=(stride,) * 3,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype).reshape(1, -1, 1, 1, 1)
     return out

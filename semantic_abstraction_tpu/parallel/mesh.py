@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers: the distributed backbone.
+
+TPU-native replacement for the reference's NCCL/DDP stack (reference:
+utils.py:131-137 init_process_group, :256-258 DistributedDataParallel,
+:427-435 all_reduce / all_gather_object, :506-512 DistributedSampler).
+
+The reference's only training parallelism is single-node data parallelism
+(SURVEY.md §2.3). Here that is a 1-D ``Mesh(("data",))`` over all chips:
+the train step is jitted with the batch sharded on "data" and params
+replicated, so XLA inserts the gradient psum over ICI automatically —
+there is no explicit collective code to maintain. Metric reductions ride
+the same compiled graph. Multi-host execution only needs
+``jax.distributed.initialize()`` before mesh construction.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def local_device_count() -> int:
+    return len(jax.devices())
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Device-put every array in ``batch`` with its batch axis sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)

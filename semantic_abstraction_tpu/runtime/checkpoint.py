@@ -1,0 +1,73 @@
+"""Checkpoint save/restore with the reference's {net, optimizer, epochs}
+semantics.
+
+Reference: utils.py:547-556 (latest.pth each epoch), :603-613
+(ckpt_{epoch}.pth every save_freq), :276-290 (resume restoring
+net+optimizer+start_epoch). Here the whole TrainState pytree (params +
+optax state + step) serializes via flax msgpack; writes are atomic
+(tmp + rename) so a preempted save never corrupts latest.ckpt.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+
+def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
+    from flax import serialization
+
+    payload = {
+        "state": _to_numpy(state),
+        "epochs": epoch,
+        "extra": extra or {},
+    }
+    data = serialization.to_bytes(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, state_template):
+    """Restore (state, start_epoch, extra); the template supplies the
+    pytree structure (like the reference's state_dict key matching)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {
+        "state": _to_numpy(state_template),
+        "epochs": 0,
+        "extra": {},
+    }
+    payload = serialization.from_bytes(template, data)
+    state = jax.tree_util.tree_map(
+        lambda t, v: jax.numpy.asarray(v), state_template, payload["state"]
+    )
+    return state, int(payload["epochs"]), payload["extra"]
+
+
+def save_params_only(path: str, params):
+    from flax import serialization
+
+    with open(path + ".tmp", "wb") as f:
+        f.write(serialization.to_bytes(_to_numpy(params)))
+    os.replace(path + ".tmp", path)
+
+
+def load_params_only(path: str, params_template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    restored = serialization.from_bytes(_to_numpy(params_template), data)
+    return jax.tree_util.tree_map(
+        lambda t, v: jax.numpy.asarray(v), params_template, restored
+    )

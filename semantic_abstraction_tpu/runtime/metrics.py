@@ -1,0 +1,161 @@
+"""Evaluation metrics: point/voxel IoU, precision/recall, cutoff sweeps.
+
+TPU-native re-architecture of the reference metric helpers
+(reference: utils.py:329-380 ``iou``/``prediction_analysis``,
+utils.py:617-667 ``voxelize_points``, train_ovssc.py:11-78 /
+train_vool.py:15-115 ``get_detailed_stats``).
+
+Departures:
+- ``prediction_analysis``'s python double loop over (batch, patch)
+  becomes fully vectorized masked reductions; NaN conventions (0-union
+  IoU, 0-denominator precision/recall, padded rows) are preserved.
+- The eval cutoff sweep (reference: one python pass per cutoff,
+  eval.py:77) is a single vmapped computation over the cutoff axis.
+- Voxelization reuses the same VoxelGrid max-scatter as the model input
+  path (reference reuses torch_scatter's VirtualGrid).
+
+Device code returns plain arrays; the pandas DataFrame assembly
+(reference get_detailed_stats) lives in host wrappers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.voxel import VoxelGrid
+
+
+def iou(prediction: jax.Array, label: jax.Array,
+        mask: Optional[jax.Array] = None) -> jax.Array:
+    """IoU over the last axis; NaN when the union is empty
+    (reference utils.py:330-336 semantics)."""
+    pred = prediction.astype(bool)
+    lab = label.astype(bool)
+    if mask is not None:
+        pred = pred & mask
+        lab = lab & mask
+    inter = (pred & lab).sum(axis=-1).astype(jnp.float32)
+    union = (pred | lab).sum(axis=-1).astype(jnp.float32)
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1.0), jnp.nan)
+
+
+def prediction_analysis(
+    prediction: jax.Array, label: jax.Array, ignore: jax.Array
+) -> Dict[str, jax.Array]:
+    """(B, P, N) -> per-(B, P) {iou, precision, recall, false_negative,
+    false_positive}, vectorized (reference utils.py:338-380)."""
+    keep = ~ignore.astype(bool)
+    pred = prediction.astype(bool) & keep
+    lab = label.astype(bool) & keep
+    tp = (pred & lab).sum(axis=-1).astype(jnp.float32)
+    pos_pred = pred.sum(axis=-1).astype(jnp.float32)
+    pos_lab = lab.sum(axis=-1).astype(jnp.float32)
+    union = (pred | lab).sum(axis=-1).astype(jnp.float32)
+    count = jnp.maximum(keep.sum(axis=-1).astype(jnp.float32), 1.0)
+    return {
+        "iou": jnp.where(union > 0, tp / jnp.maximum(union, 1.0), jnp.nan),
+        "precision": jnp.where(pos_pred > 0, tp / jnp.maximum(pos_pred, 1.0), jnp.nan),
+        "recall": jnp.where(pos_lab > 0, tp / jnp.maximum(pos_lab, 1.0), jnp.nan),
+        "false_negative": (lab & ~pred).sum(axis=-1) / count,
+        "false_positive": (~lab & pred & keep).sum(axis=-1) / count,
+    }
+
+
+def voxelize_points(
+    prediction: jax.Array,
+    label: jax.Array,
+    xyz_pts: jax.Array,
+    voxel_shape: Tuple[int, int, int],
+    scene_bounds,
+    ignore_pts: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Point predictions -> voxelized (B, P, V) bool grids
+    (reference utils.py:617-667): max-scatter of prediction, of ±1-mapped
+    labels, and of the ignore mask; voxels with no label points are
+    ignored."""
+    b, p, n = prediction.shape
+    grid = VoxelGrid.from_bounds(np.asarray(scene_bounds), voxel_shape)
+    xyz = jnp.broadcast_to(xyz_pts[:, :, :, :], (b, p, n, 3)).reshape(b * p, n, 3)
+
+    def scat(feat):
+        return grid.scatter_points(
+            xyz, feat.reshape(b * p, n, 1).astype(jnp.float32), "max"
+        ).reshape(b, p, -1)
+
+    vox_pred = scat(prediction.astype(jnp.float32))
+    vox_label = scat((label.astype(jnp.float32) - 0.5) * 2.0)
+    vox_ignore = scat(ignore_pts.astype(jnp.float32))
+    missing = vox_label == 0.0
+    return {
+        "prediction": vox_pred > 0,
+        "label": vox_label > 0,
+        "ignore": (vox_ignore > 0) | missing,
+    }
+
+
+def point_and_voxel_stats(
+    logits: jax.Array,
+    label: jax.Array,
+    xyz_pts: jax.Array,
+    ignore_pts: jax.Array,
+    cutoffs: Sequence[float],
+    scene_bounds,
+    voxel_shapes: Tuple[Tuple[int, int, int], ...] = ((32, 32, 32),),
+) -> Dict[str, jax.Array]:
+    """Full detailed-stat computation for ALL cutoffs at once.
+
+    Returns {"point_iou": (C, B, P), ..., "voxel32x32x32_iou": (C, B, P),
+    ...}. Replaces the reference's per-cutoff python loop
+    (train_ovssc.py:151-160, eval.py:77) with one batched device pass.
+    """
+    cut = jnp.asarray(list(cutoffs), jnp.float32)
+    preds = logits[None] > cut[:, None, None, None]  # (C, B, P, N)
+
+    out = {}
+    point = jax.vmap(lambda pr: prediction_analysis(pr, label, ignore_pts))(preds)
+    out.update({f"point_{k}": v for k, v in point.items()})
+    for vs in voxel_shapes:
+        vox = jax.vmap(
+            lambda pr: voxelize_points(pr, label, xyz_pts, vs, scene_bounds, ignore_pts)
+        )(preds)
+        va = jax.vmap(
+            lambda v: prediction_analysis(v["prediction"], v["label"], v["ignore"])
+        )(vox)
+        tag = "voxel" + "x".join(str(s) for s in vs)
+        out.update({f"{tag}_{k}": v for k, v in va.items()})
+    return out
+
+
+point_and_voxel_stats_jit = jax.jit(
+    point_and_voxel_stats,
+    static_argnames=("cutoffs", "voxel_shapes", "scene_bounds"),
+)
+
+
+def detailed_stats_frame(
+    stats: Dict[str, np.ndarray],
+    cutoffs: Sequence[float],
+    meta: Dict[str, Sequence],
+    pad_mask: np.ndarray,
+) -> "pandas.DataFrame":  # noqa: F821
+    """Host-side: assemble the reference's detailed-stats DataFrame
+    (train_ovssc.py:11-78 / train_vool.py:15-115 schema). ``meta`` maps
+    column -> per-(B*P) values; ``pad_mask`` (B, P) NaNs padded rows."""
+    import pandas as pd
+
+    frames = []
+    flat_pad = np.asarray(pad_mask).reshape(-1)
+    for ci, cutoff in enumerate(cutoffs):
+        cols = dict(meta)
+        for k, v in stats.items():
+            vals = np.asarray(v[ci]).reshape(-1).astype(np.float64)
+            vals[flat_pad] = np.nan
+            cols[k] = vals
+        df = pd.DataFrame(cols)
+        df["cutoff"] = cutoff
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)

@@ -55,18 +55,14 @@ def test_tile_plan_matches_reference_loop(h, w):
         np.testing.assert_allclose(plan.count, count)
 
 
-def test_tile_plan_scatter_indices():
+def test_tile_plan_regular_grid():
     plans = tile_plan((32, 48), (CropSpec(16, 8),), num_images=1)
     plan = plans[0]
-    t = plan.offsets.shape[0]
-    assert plan.scatter_idx.shape == (t, 16, 16)
-    # indices of tile k must cover exactly rows x:x+16, cols y:y+16
-    for k in range(t):
-        x, y = plan.offsets[k]
-        rows = plan.scatter_idx[k] // 48
-        cols = plan.scatter_idx[k] % 48
-        assert rows.min() == x and rows.max() == x + 15
-        assert cols.min() == y and cols.max() == y + 15
+    assert plan.nx * plan.ny == plan.offsets.shape[0]
+    # y-outer, x-inner ordering with spacing = stride
+    for t, (x, y) in enumerate(plan.offsets):
+        iy, ix = divmod(t, plan.nx)
+        assert x == ix * plan.stride and y == iy * plan.stride
 
 
 def test_extract_tiles_matches_pil():
@@ -142,28 +138,34 @@ def test_saliency_end_to_end_shapes(tiny_saliency):
     assert (np.abs(m) > 0).any()
 
 
-def test_saliency_accumulation_matches_bruteforce(tiny_saliency):
-    """Fused scan+scatter accumulation == per-tile numpy accumulation."""
+@pytest.mark.parametrize("hw,ts,stride,n_images", [
+    ((48, 64), 32, 8, 1),       # ts = 4*stride (standard config shape)
+    ((48, 64), 30, 8, 2),       # ts not a multiple of stride (partial block)
+    ((40, 40), 20, 5, 3),
+])
+def test_saliency_accumulation_matches_bruteforce(tiny_saliency, hw, ts,
+                                                  stride, n_images):
+    """Scatter-free overlap-add == per-tile torch-interpolate accumulation."""
     torch = pytest.importorskip("torch")
     rs = np.random.RandomState(4)
-    h, w = 48, 64
-    crops = (CropSpec(32, 16),)
-    plans = tile_plan((h, w), crops, num_images=1)
+    h, w = hw
+    plans = tile_plan(hw, (CropSpec(ts, stride),), num_images=n_images)
     plan = plans[0]
     t = plan.offsets.shape[0]
     l = 2
-    rel = rs.randn(l, t, 7, 7).astype(np.float32)
+    rel = rs.randn(l, n_images * t, 7, 7).astype(np.float32)
     canvas = np.asarray(
-        tiny_saliency._accumulate(jnp.asarray(rel), plan, (h, w))
-    ).reshape(l, h, w)
-    # brute force with torch bilinear align_corners=False (the reference op)
+        tiny_saliency._accumulate(jnp.asarray(rel), plan, hw, n_images)
+    )
     ref = np.zeros((l, h, w), np.float32)
-    up = torch.nn.functional.interpolate(
-        torch.from_numpy(rel), size=32, mode="bilinear", align_corners=False
-    ).numpy()
-    for k, (x, y) in enumerate(plan.offsets):
-        ref[:, x : x + 32, y : y + 32] += up[:, k]
-    np.testing.assert_allclose(canvas, ref, atol=1e-4, rtol=1e-4)
+    for i in range(n_images):
+        up = torch.nn.functional.interpolate(
+            torch.from_numpy(rel[:, i * t : (i + 1) * t]), size=ts,
+            mode="bilinear", align_corners=False,
+        ).numpy()
+        for k, (x, y) in enumerate(plan.offsets):
+            ref[:, x : x + ts, y : y + ts] += up[:, k]
+    np.testing.assert_allclose(canvas, ref, atol=5e-4, rtol=1e-3)
 
 
 def test_chefer_config_single_scale():
