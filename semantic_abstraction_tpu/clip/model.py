@@ -178,11 +178,15 @@ def vit_forward(
     cfg: ClipConfig,
     compute_dtype=jnp.float32,
     attn_eps: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """ViT image encoder. pixels (B, 3, H, W) -> (features (B, E), probs).
 
     probs is (L, B, H, T, T): every layer's attention probabilities, the
-    residuals the relevancy engine differentiates against.
+    residuals the relevancy engine differentiates against. ``attn_mask``
+    is an additive (T, T) mask applied in every block — the reference's
+    per-tile attention-mask override (CLIP/clip/model.py:250-273,
+    encode_image(**kwargs) :446).
     """
     x = patchify(pixels.astype(compute_dtype), cfg.vision_patch_size)
     x = x @ visual["patch_embed"].astype(compute_dtype)
@@ -201,7 +205,7 @@ def vit_forward(
     x = x + pos.astype(compute_dtype)
     x = layer_norm(x, visual["ln_pre"]["scale"], visual["ln_pre"]["bias"])
     x, probs = transformer_forward(
-        visual["blocks"], x, cfg.vision_heads, mask=None, attn_eps=attn_eps
+        visual["blocks"], x, cfg.vision_heads, mask=attn_mask, attn_eps=attn_eps
     )
     x = layer_norm(x[:, 0, :], visual["ln_post"]["scale"], visual["ln_post"]["bias"])
     feats = x @ visual["proj"].astype(compute_dtype)
@@ -233,8 +237,11 @@ def encode_text(
     return pooled @ text_params["projection"].astype(compute_dtype)
 
 
-def encode_image(params: dict, pixels: jax.Array, cfg: ClipConfig, compute_dtype=jnp.float32):
-    feats, _ = vit_forward(params["visual"], pixels, cfg, compute_dtype)
+def encode_image(params: dict, pixels: jax.Array, cfg: ClipConfig,
+                 compute_dtype=jnp.float32, tile_attn_mask=None):
+    feats, _ = vit_forward(
+        params["visual"], pixels, cfg, compute_dtype, attn_mask=tile_attn_mask
+    )
     return feats
 
 
