@@ -54,12 +54,15 @@ def main():
                        tile_batch_size=32)
     config = ours_config(h)
 
-    # warmup: compile every (scale, chunk) shape once
+    # warmup: compile every (scale, chunk) shape once.
+    # NOTE: realize to HOST (np.asarray), not block_until_ready — through
+    # the axon tunnel block_until_ready returns before execution finishes
+    # and only a host readback actually waits for the device.
     maps, _ = sal.get_clip_saliency(
         img, labels, ["a photograph of a {} in a home."], config,
         key=jax.random.PRNGKey(0),
     )
-    maps.block_until_ready()
+    np.asarray(maps)
 
     times = []
     for i in range(3):
@@ -68,7 +71,7 @@ def main():
             img, labels, ["a photograph of a {} in a home."], config,
             key=jax.random.PRNGKey(i + 1),
         )
-        maps.block_until_ready()
+        np.asarray(maps)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -86,6 +86,49 @@ def random_domain_transform(rng: np.random.RandomState, scene_bounds: np.ndarray
     return compose_affine(t, r, z).astype(np.float32)
 
 
+def weighted_sample(rng: np.random.RandomState, probs: np.ndarray, k: int,
+                    replace: bool) -> np.ndarray:
+    """Weighted index sampling, distributionally equivalent to
+    ``rng.choice(n, k, p=probs, replace=...)`` but vectorized.
+
+    - without replacement: Efraimidis-Spirakis exponential keys
+      (key_i ~ Exp(1)/w_i, take the k smallest) — identical in
+      distribution to sequential weighted draws, ~20x faster than
+      np.random.choice's O(n*k) path at the reference's 400k-of-1M scale.
+    - with replacement: inverse-CDF via cumsum + searchsorted.
+
+    Raises ValueError like np.random.choice when a no-replacement draw is
+    infeasible (k exceeds the number of positive-weight entries), so the
+    reference's replace=True fallback (dataset.py:150-156) still engages.
+    """
+    probs = np.asarray(probs, np.float64)
+    n = len(probs)
+    try:
+        from .. import native
+
+        if native.available():
+            return native.weighted_sample(rng, probs, k, replace)
+    except RuntimeError:
+        pass
+    if not replace:
+        nonzero = int((probs > 0).sum())
+        if k > nonzero:
+            raise ValueError(
+                f"cannot draw {k} without replacement from {nonzero} "
+                "positive-weight entries"
+            )
+        with np.errstate(divide="ignore"):
+            keys = rng.exponential(size=n) / probs
+        if k >= n:
+            return np.arange(n)
+        return np.argpartition(keys, k - 1)[:k]
+    cum = np.cumsum(probs)
+    if cum[-1] <= 0:
+        raise ValueError("probabilities sum to zero")
+    u = rng.random_sample(k) * cum[-1]
+    return np.minimum(np.searchsorted(cum, u, side="right"), n - 1)
+
+
 def transform_filter_subsample(
     xyz_pts: np.ndarray,
     scene_bounds: np.ndarray,
@@ -121,18 +164,20 @@ def transform_filter_subsample(
         return out
     m = len(out["xyz_pts"])
     try:
-        idx = rng.choice(m, size=num_subsample_pts, p=probs,
-                         replace=always_replace_pts)
+        idx = weighted_sample(rng, probs, num_subsample_pts,
+                              replace=always_replace_pts)
     except ValueError:
-        idx = rng.choice(m, size=num_subsample_pts, p=probs, replace=True)
+        idx = weighted_sample(rng, probs, num_subsample_pts, replace=True)
+    from .. import native
+
     result = {}
     for k, v in out.items():
         if v is None:
             result[k] = None
         elif v.shape[0] == m:
-            result[k] = v[idx]
+            result[k] = native.gather_rows(v, idx)
         else:
-            result[k] = v[:, idx]
+            result[k] = native.gather_axis1(v, idx)
     return result
 
 

@@ -38,15 +38,23 @@ def feature_maps_per_level(f_maps: int, num_levels: int) -> list:
 
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, num_groups: int,
                eps: float = 1e-5) -> jax.Array:
-    """GroupNorm over (B, C, D, H, W); statistics in fp32."""
+    """GroupNorm over (B, C, D, H, W); statistics in fp32.
+
+    Shape-preserving formulation: stats come from fused fp32 reductions
+    and normalization is applied with broadcast per-group scalars — no
+    flattened fp32 copy of the activation (at 128^3 such a temp is
+    512 MB per block and dominated train-step HBM)."""
     b, c = x.shape[:2]
     orig_dtype = x.dtype
     g = num_groups if c >= num_groups else 1
-    xg = x.astype(jnp.float32).reshape(b, g, -1)
-    mean = xg.mean(axis=-1, keepdims=True)
-    var = xg.var(axis=-1, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(x.shape)
+    spatial = x.shape[2:]
+    xg = x.reshape(b, g, c // g, *spatial)
+    xf = xg.astype(jnp.float32)
+    axes = tuple(range(2, xg.ndim))
+    mean = xf.mean(axis=axes, keepdims=True)
+    var = (xf * xf).mean(axis=axes, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    out = ((xf - mean) * inv).reshape(x.shape)
     shape = (1, c) + (1,) * (x.ndim - 2)
     out = out * scale.astype(jnp.float32).reshape(shape)
     out = out + bias.astype(jnp.float32).reshape(shape)
@@ -129,21 +137,37 @@ def ext_resnet_block(params: dict, x: jax.Array, num_groups: int) -> jax.Array:
 
 
 def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
-                    compute_dtype=None) -> jax.Array:
-    """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W)."""
+                    compute_dtype=None, remat: bool = True) -> jax.Array:
+    """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W).
+
+    With ``remat`` each residual block is wrapped in ``jax.checkpoint``:
+    only block boundaries stay live for the backward pass and the block
+    interiors (3 convs + GN temps, the conv-backward padding blowup) are
+    recomputed — at 128^3 this is what fits the train step in a v5e's
+    16 GB HBM.
+    """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+
+    if remat:
+        block = jax.checkpoint(
+            ext_resnet_block, static_argnums=(2,),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+    else:
+        block = ext_resnet_block
+
     skips = []
     for i, enc in enumerate(params["encoders"]):
         if i > 0:
             x = max_pool3d(x)
-        x = ext_resnet_block(enc, x, num_groups)
+        x = block(enc, x, num_groups)
         skips.insert(0, x)
     skips = skips[1:]
     for dec, skip in zip(params["decoders"], skips):
         x = conv_transpose3d(x, dec["up_w"], dec["up_b"])
         x = x + skip  # sum joining (unet3d.py:392-396)
-        x = ext_resnet_block(dec, x, num_groups)
+        x = block(dec, x, num_groups)
     return conv3d(x, params["final_w"], params["final_b"], padding=0)
 
 
