@@ -18,8 +18,13 @@ def _ensure_ftfy_stub():
         try:
             import ftfy  # noqa: F401
         except ImportError:
+            import importlib.machinery
+
             stub = types.ModuleType("ftfy")
             stub.fix_text = lambda t: t
+            # a real ModuleSpec: transformers probes optional deps with
+            # importlib.util.find_spec, which raises on __spec__ = None
+            stub.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
             sys.modules["ftfy"] = stub
 
 

@@ -1,0 +1,90 @@
+"""End-to-end CLI integration: synthetic scenes -> train_ovssc ->
+eval -> summarize (tiny config, CPU, virtual devices)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from synthetic_scene import make_scene
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("thor")
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        # scene ids follow the FloorPlan<room>_<seed> convention summarize
+        # expects (summarize.py room_id parsing)
+        name = f"FloorPlan{i + 1}_physics_{i}.hdf5"
+        make_scene(d / name, rs)
+        names.append(name)
+    splits = {
+        "train": names[:2],
+        "unseen_instances": names[2:3],
+        "unseen_instances_dr": [],
+        "unseen_instances_synonyms": [],
+        "novel_class": names[3:4],
+    }
+    with open(d / "ssc_split.pkl", "wb") as f:
+        pickle.dump(splits, f)
+    return d
+
+
+TINY_ARGS = [
+    "--voxel_shape", "16", "16", "16",
+    "--unet_f_maps", "4",
+    "--unet_num_channels", "8",
+    "--unet_num_groups", "2",
+    "--unet_num_levels", "3",
+    "--pts_feat_extractor_hidden_dim", "16",
+    "--num_input_pts", "256",
+    "--num_output_pts", "256",
+    "--num_warmup_steps", "2",
+    "--epochs", "2",
+    "--eval_freq", "1",
+    "--num_workers", "0",
+    "--num_devices", "1",
+    "--compute_dtype", "float32",
+    "--seed", "0",
+]
+
+
+def test_train_ovssc_end_to_end(dataset_dir, tmp_path):
+    from semantic_abstraction_tpu.cli import train_ovssc
+
+    log = str(tmp_path / "log")
+    train_ovssc.main(
+        ["--file_path", str(dataset_dir), "--log", log] + TINY_ARGS
+    )
+    assert os.path.exists(os.path.join(log, "latest.ckpt"))
+    assert os.path.exists(os.path.join(log, "args.pkl"))
+    assert os.path.exists(os.path.join(log, "detailed_stats.pkl"))
+    with open(os.path.join(log, "detailed_stats.pkl"), "rb") as f:
+        df = pickle.load(f)
+    assert len(df) > 0
+    assert "voxel32x32x32_iou" in df.columns
+
+    # resume restores epoch and keeps training
+    from semantic_abstraction_tpu.cli import eval as eval_cli
+
+    eval_cli.main([
+        "--file_path", str(dataset_dir),
+        "--load", os.path.join(log, "latest.ckpt"),
+        "--task", "ovssc", "--max_batches", "1",
+    ])
+    stats_path = os.path.join(log, "latest_eval_stats.pkl")
+    assert os.path.exists(stats_path)
+    with open(stats_path, "rb") as f:
+        stats = pickle.load(f)
+    assert {"scene_id", "label", "cutoff", "split"} <= set(stats.columns)
+    # all 25 eval cutoffs present
+    assert len(stats["cutoff"].unique()) == 25
+
+    # summarize consumes the eval stats (single-approach table)
+    from semantic_abstraction_tpu.cli.summarize import summarize_ovssc
+
+    table = summarize_ovssc({"Ours": stats})
+    assert "novel rooms" in table.columns
+    assert len(table) == 1

@@ -83,3 +83,26 @@ def test_unet3d_bf16_compute_close_to_fp32(ref_unet3d):
     ).astype(np.float32)
     # bf16 matmuls: loose tolerance, but must be structurally the same
     assert np.abs(full - half).mean() < 0.1
+
+
+@pytest.mark.parametrize("shape,cin,cout", [
+    ((2, 5, 8, 10, 12), 5, 7),
+    ((1, 16, 16, 16, 16), 16, 16),
+    ((1, 32, 8, 8, 8), 32, 32),
+])
+def test_conv3d_s2d_matches_plain(ref_unet3d, shape, cin, cout):
+    """Space-to-depth conv == plain same-padding conv (models/unet3d.py
+    conv3d_s2d), incl. gradients."""
+    from semantic_abstraction_tpu.models.unet3d import conv3d, conv3d_s2d
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rs.randn(cout, cin, 3, 3, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(conv3d_s2d(x, w)), np.asarray(conv3d(x, w, padding=1)),
+        atol=3e-4, rtol=3e-4,
+    )
+    g1 = jax.grad(lambda w_: conv3d(x, w_, padding=1).sum())(w)
+    g2 = jax.grad(lambda w_: conv3d_s2d(x, w_).sum())(w)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=3e-3,
+                               rtol=3e-3)
