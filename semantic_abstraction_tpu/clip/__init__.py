@@ -16,6 +16,7 @@ from .saliency import (
     saliency_configs,
     ours_config,
     chefer_et_al_config,
+    IMAGENET_TEMPLATES,
     color_jitter,
     extract_tiles,
     tile_plan,
@@ -42,6 +43,7 @@ __all__ = [
     "saliency_configs",
     "ours_config",
     "chefer_et_al_config",
+    "IMAGENET_TEMPLATES",
     "color_jitter",
     "extract_tiles",
     "tile_plan",

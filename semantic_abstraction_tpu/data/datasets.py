@@ -136,7 +136,50 @@ def _apply_synonyms(labels):
 
 
 class SceneCompletionDataset(SceneUnderstandDataset):
-    """OVSSC scene reader (reference dataset.py:681-1238)."""
+    """OVSSC scene reader (reference dataset.py:681-1238).
+
+    ``use_gt_seg`` enables the oracle-mask mode (dataset.py:734-783):
+    ground-truth segmentation masks stand in for CLIP relevancies."""
+
+    def __init__(self, *args, use_gt_seg: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.use_gt_seg = use_gt_seg
+        if use_gt_seg:
+            assert not self.use_synonyms
+            assert not self.cfg.subtract_mean_relevancy
+
+    def _gt_seg_patches(self, f: h5py.File, rng, num_subsample_patches: int,
+                        patch_labels, scene_object_labels):
+        """Oracle masks: or-of-instance segs per class, scaled so the x50
+        downstream rescale yields (mask - 0.5) (dataset.py:758-771)."""
+        patch_objids = {}
+        for label in patch_labels:
+            patch_objids[label] = {
+                int(ol.split("[")[1].split("]")[0])
+                for ol in scene_object_labels
+                if ol.split("[")[0] == label and "[" in ol
+            }
+        labels = np.array(list(patch_objids.keys()))
+        if num_subsample_patches != -1 and len(labels) > num_subsample_patches:
+            idx = rng.choice(len(labels), num_subsample_patches, replace=False)
+            labels = labels[idx]
+        seg = deref_h5py(f["seg"], f["data/seg"])[0]
+        sal = []
+        for label in labels:
+            mask = np.zeros_like(seg)
+            for objid in patch_objids[label]:
+                mask = np.logical_or(mask, seg == objid)
+            sal.append(mask)
+        sal = (np.stack(sal).astype(np.float32) - 0.5) / 50.0
+        return {
+            "patch_labels": labels,
+            "patch_saliencies": sal,
+            "patch_label_features": np.zeros((len(labels), 512), np.float32),
+            "patch_objmatches": np.array(
+                ["|".join(map(str, patch_objids[l])) for l in labels]
+            ),
+            "num_patches": len(labels),
+        }
 
     def get_scene_patches(self, f: h5py.File, rng, num_subsample_patches: int,
                           full_objid_pts=None, out_of_frustum_pts_mask=None):
@@ -160,6 +203,12 @@ class SceneCompletionDataset(SceneUnderstandDataset):
             )
         if self.use_synonyms:
             patch_labels = _apply_synonyms(patch_labels)
+
+        if self.use_gt_seg:
+            assert full_objid_pts is not None
+            return self._gt_seg_patches(
+                f, rng, num_subsample_patches, patch_labels, scene_object_labels
+            )
 
         text_labels = np.array(f[f"{prefix}|saliency_text_labels"]).astype(str)
         assert set(patch_labels).issubset(set(text_labels.tolist()))

@@ -181,6 +181,50 @@ def transform_filter_subsample(
     return result
 
 
+def compute_empty_mask(scene_bounds, depth_img, intrinsic_matrix,
+                       extrinsic_matrix, voxel_resolution: int = 20) -> np.ndarray:
+    """Coarse free-space mask: a voxel is 'empty' unless some pixel observed
+    past it (reference point_cloud.py:173-242, minus its debug plotting).
+    Returns a (v, v, v) bool grid."""
+    sb = np.asarray(scene_bounds, np.float64)
+    grid_shape = (voxel_resolution,) * 3
+    axes = [np.arange(d) for d in grid_shape]
+    idxs = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    scales = (sb[1] - sb[0]) / (np.asarray(grid_shape) - 1)
+    pts = idxs * scales + sb[0]
+    inv = np.linalg.inv(np.asarray(extrinsic_matrix, np.float64))
+    cam = pts @ inv[:3, :3].T + inv[:3, 3]
+    z = cam[:, 2]
+    safe_z = np.where(z == 0, 1e-12, z)
+    intr = np.asarray(intrinsic_matrix, np.float64)
+    px = np.round(cam[:, 0] * intr[0, 0] / safe_z + intr[0, 2]).astype(int)
+    py = np.round(cam[:, 1] * intr[1, 1] / safe_z + intr[1, 2]).astype(int)
+    w, h = depth_img.shape  # reference quirk: im_w, im_h = depth.shape
+    valid = (px >= 0) & (px < w) & (py >= 0) & (py < h) & (z > 0)
+    mask = np.ones(grid_shape, bool)
+    observed = valid.copy()
+    observed[valid] = depth_img[py[valid], px[valid]] > z[valid]
+    obs_idx = idxs[observed]
+    mask[obs_idx[:, 0], obs_idx[:, 1], obs_idx[:, 2]] = False
+    return mask
+
+
+def balanced_class_subsample(seg_pts: np.ndarray, num_pts: int,
+                             rng: np.random.RandomState,
+                             balanced: bool = True) -> np.ndarray:
+    """Per-class balanced index subsample (reference point_cloud.py:245-258)."""
+    probs = np.ones(seg_pts.shape, np.float64)
+    if balanced:
+        uniq = np.unique(seg_pts)
+        for sid in uniq:
+            m = seg_pts == sid
+            probs[m] = 1.0 / (m.sum() * len(uniq))
+    else:
+        probs /= probs.sum()
+    probs /= probs.sum()
+    return weighted_sample(rng, probs, num_pts, replace=False)
+
+
 def resize_bilinear_np(maps: np.ndarray, out_hw) -> np.ndarray:
     """(..., H, W) bilinear resize, torch align_corners=False weights
     (shares the verified resize-matrix kernel with the device path)."""

@@ -24,6 +24,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _grid_sample_prep(vol_shape, coords):
+    """Shared index/fraction math for the trilinear sampler and its VJP."""
+    b, c, d, h, w = vol_shape
+    sizes = jnp.asarray([w, h, d], dtype=coords.dtype)
+    idx = (coords + 1.0) * 0.5 * (sizes - 1)
+    idx = jnp.clip(idx, 0.0, sizes - 1)
+    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    x0 = jnp.clip(jnp.floor(ix), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy), 0, h - 1)
+    z0 = jnp.clip(jnp.floor(iz), 0, d - 1)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+    return (x0.astype(jnp.int32), y0.astype(jnp.int32), z0.astype(jnp.int32),
+            fx, fy, fz)
+
+
+def _row_pack(vol_row: jax.Array) -> jax.Array:
+    """(C, D, H, W) -> (D*H*W, 8, C) packed 2x2x2 neighborhoods.
+
+    pack[lin(z,y,x), (dz,dy,dx)] = vol[z+dz, y+dy, x+dx] with zero padding
+    past the far faces. A single wide gather of a packed row replaces 8
+    separate corner gathers (TPU gathers are row-count bound); the zero
+    rows are only reachable with zero lerp weight (fx/fy/fz = 0 at the
+    clipped border), so clamping semantics are preserved.
+    """
+    c, d, h, w = vol_row.shape
+    v = jnp.transpose(vol_row, (1, 2, 3, 0))
+    vp = jnp.pad(v, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    blocks = [
+        vp[dz : dz + d, dy : dy + h, dx : dx + w]
+        for dz in range(2) for dy in range(2) for dx in range(2)
+    ]
+    return jnp.stack(blocks, axis=3).reshape(d * h * w, 8, c)
+
+
+def _lerp_weights(fx, fy, fz):
+    """(N,) fractions -> (N, 8) corner weights in (dz, dy, dx) order."""
+    wx = jnp.stack([1 - fx, fx], axis=-1)
+    wy = jnp.stack([1 - fy, fy], axis=-1)
+    wz = jnp.stack([1 - fz, fz], axis=-1)
+    w8 = (wz[..., :, None, None] * wy[..., None, :, None]
+          * wx[..., None, None, :])
+    return w8.reshape(w8.shape[:-3] + (8,))
+
+
+@jax.custom_vjp
 def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     """Sample (B, C, D, H, W) volume at (B, N, 3) normalized coords in [-1, 1].
 
@@ -32,6 +77,12 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     coords[..., 0] indexes W (the last axis), coords[..., 1] H, coords[..., 2]
     D. Returns (B, N, C).
 
+    TPU design: per batch row, the 2x2x2 neighborhoods are packed once
+    (dense shifts) and each query does ONE wide gather of 8C values —
+    TPU gathers are bound by row count, and the 8-corner formulation was
+    8x the rows for the same bytes. lax.map over rows bounds the packed
+    temp to 8x one volume.
+
     NOTE (parity quirk): the reference decoder passes (x, y, z) world-derived
     coordinates straight into grid_sample (net.py:229-239), so world-x indexes
     the volume's LAST axis while the scatter laid the volume out as
@@ -39,52 +90,109 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     coords in the same (x, y, z) order to reproduce it.
     """
     b, c, d, h, w = vol.shape
-    sizes = jnp.asarray([w, h, d], dtype=coords.dtype)
-    # align_corners=True: -1 -> 0, +1 -> size-1
-    idx = (coords + 1.0) * 0.5 * (sizes - 1)
-    # border padding: clamp the continuous index into the valid range
-    idx = jnp.clip(idx, 0.0, sizes - 1)
-    ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
+    x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+    lin = (z0 * h + y0) * w + x0
+    w8 = _lerp_weights(fx, fy, fz)  # (B, N, 8)
 
-    x0 = jnp.clip(jnp.floor(ix), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(iy), 0, h - 1)
-    z0 = jnp.clip(jnp.floor(iz), 0, d - 1)
-    fx, fy, fz = ix - x0, iy - y0, iz - z0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    z0 = z0.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    z1 = jnp.minimum(z0 + 1, d - 1)
+    def row(args):
+        vol_r, lin_r, w8_r = args
+        pack = _row_pack(vol_r)  # (DHW, 8, C)
+        g8 = jnp.take(pack.reshape(d * h * w, 8 * c), lin_r, axis=0)
+        g8 = g8.reshape(-1, 8, c)
+        return (g8 * w8_r[:, :, None].astype(g8.dtype)).sum(axis=1)
 
-    # flatten to (B, D*H*W, C) and gather linear indices: one contiguous
-    # take_along_axis per corner (3-D advanced-index gathers lower to
-    # pathologically slow scatter-gathers on TPU)
-    vol_flat = jnp.transpose(vol, (0, 2, 3, 4, 1)).reshape(b, d * h * w, c)
+    return jax.lax.map(row, (vol, lin, w8))
 
-    def gather(zz, yy, xx):
-        lin = (zz * h + yy) * w + xx  # (B, N)
-        return jnp.take_along_axis(vol_flat, lin[..., None], axis=1)
 
-    c000 = gather(z0, y0, x0)
-    c001 = gather(z0, y0, x1)
-    c010 = gather(z0, y1, x0)
-    c011 = gather(z0, y1, x1)
-    c100 = gather(z1, y0, x0)
-    c101 = gather(z1, y0, x1)
-    c110 = gather(z1, y1, x0)
-    c111 = gather(z1, y1, x1)
+def _grid_sample_fwd(vol, coords):
+    return grid_sample_3d(vol, coords), (vol, coords)
 
-    fx = fx[..., None]
-    fy = fy[..., None]
-    fz = fz[..., None]
-    c00 = c000 * (1 - fx) + c001 * fx
-    c01 = c010 * (1 - fx) + c011 * fx
-    c10 = c100 * (1 - fx) + c101 * fx
-    c11 = c110 * (1 - fx) + c111 * fx
-    c0 = c00 * (1 - fy) + c01 * fy
-    c1 = c10 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz
+
+def _grid_sample_bwd(res, g):
+    """Custom backward. The naive VJP scatter-adds 8 corner rows per query
+    (XLA TPU scatter ran ~7M rows/s: 1.6 s for the reference's 1.6M-point
+    decoder pass). Here all 8 corners pack into ONE base-corner scatter of
+    8C channels into a (D+1, H+1, W+1) staging grid followed by 8 dense
+    shifted adds (8x fewer scatter rows), and the corner values needed for
+    d(coords) come from one packed gather. Border clamping is reproduced
+    by folding the overflow planes onto the last valid planes (their
+    weights are zero anyway for clipped coords).
+    """
+    vol, coords = res
+    b, c, d, h, w = vol.shape
+    n = coords.shape[1]
+    x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+    gf = g.astype(jnp.float32)
+    w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
+    data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, 8 * c)
+    lin0 = (z0 * (h + 1) + y0) * (w + 1) + x0  # base corner in staging grid
+    lin = (z0 * h + y0) * w + x0
+
+    fxe = fx[..., None].astype(jnp.float32)
+    fye = fy[..., None].astype(jnp.float32)
+    fze = fz[..., None].astype(jnp.float32)
+
+    def row(args):
+        vol_r, data_r, lin0_r, lin_r, gf_r, fx_r, fy_r, fz_r = args
+        # --- d(vol): packed scatter + dense shifted adds
+        staging = jnp.zeros(((d + 1) * (h + 1) * (w + 1), 8 * c), jnp.float32)
+        staging = staging.at[lin0_r].add(data_r)
+        staging = staging.reshape(d + 1, h + 1, w + 1, 2, 2, 2, c)
+        out = jnp.zeros((d + 1, h + 1, w + 1, c), jnp.float32)
+        for dz in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    block = staging[:, :, :, dz, dy, dx, :]
+                    out = out.at[
+                        dz : dz + d + (1 - dz), dy : dy + h + (1 - dy),
+                        dx : dx + w + (1 - dx),
+                    ].add(block[: d + (1 - dz), : h + (1 - dy), : w + (1 - dx)])
+        out = out.at[d - 1].add(out[d])
+        out = out.at[:, h - 1].add(out[:, h])
+        out = out.at[:, :, w - 1].add(out[:, :, w])
+        dvol_r = out[:d, :h, :w]
+
+        # --- d(coords): one packed gather for all 8 corner values
+        pack = _row_pack(vol_r).astype(jnp.float32)
+        g8 = jnp.take(pack.reshape(d * h * w, 8 * c), lin_r, axis=0)
+        g8 = g8.reshape(-1, 2, 2, 2, c)  # (N, dz, dy, dx, C)
+        # border: packed zero rows stand in for clamped corners; their
+        # fraction is 0 so lerp values/derivatives along that axis use the
+        # dz/dy/dx = 0 plane, matching the clamped-corner math
+        c000, c001 = g8[:, 0, 0, 0], g8[:, 0, 0, 1]
+        c010, c011 = g8[:, 0, 1, 0], g8[:, 0, 1, 1]
+        c100, c101 = g8[:, 1, 0, 0], g8[:, 1, 0, 1]
+        c110, c111 = g8[:, 1, 1, 0], g8[:, 1, 1, 1]
+        dfx = ((c001 - c000) * (1 - fy_r) + (c011 - c010) * fy_r) * (1 - fz_r) + (
+            (c101 - c100) * (1 - fy_r) + (c111 - c110) * fy_r
+        ) * fz_r
+        dfy = ((c010 - c000) * (1 - fx_r) + (c011 - c001) * fx_r) * (1 - fz_r) + (
+            (c110 - c100) * (1 - fx_r) + (c111 - c101) * fx_r
+        ) * fz_r
+        dfz = ((c100 - c000) * (1 - fx_r) + (c101 - c001) * fx_r) * (1 - fy_r) + (
+            (c110 - c010) * (1 - fx_r) + (c111 - c011) * fx_r
+        ) * fy_r
+        gx = (gf_r * dfx).sum(-1)
+        gy = (gf_r * dfy).sum(-1)
+        gz = (gf_r * dfz).sum(-1)
+        return dvol_r, jnp.stack([gx, gy, gz], axis=-1)
+
+    dvol, dxyz = jax.lax.map(
+        row, (vol, data, lin0, lin, gf, fxe, fye, fze)
+    )
+    dvol = jnp.transpose(dvol, (0, 4, 1, 2, 3)).astype(vol.dtype)
+    # chain through idx = clip((coords+1)/2*(size-1), 0, size-1): the clip
+    # zeroes the gradient outside the open interval
+    sizes = jnp.asarray([w, h, d], dtype=jnp.float32)
+    idx_unclipped = (coords.astype(jnp.float32) + 1.0) * 0.5 * (sizes - 1)
+    scale = 0.5 * (sizes - 1)
+    interior = (idx_unclipped > 0) & (idx_unclipped < sizes - 1)
+    dcoords = dxyz * scale * interior
+    return dvol, dcoords.astype(coords.dtype)
+
+
+
+grid_sample_3d.defvjp(_grid_sample_fwd, _grid_sample_bwd)
 
 
 def trilinear_sample(vol: jax.Array, coords: jax.Array) -> jax.Array:

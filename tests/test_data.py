@@ -216,3 +216,40 @@ def test_batch_feeds_train_step(scene_dir):
     }
     state, stats = step(state, device_batch)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_ovssc_use_gt_seg(scene_dir):
+    """Oracle-mask mode (reference dataset.py:734-783): GT seg masks as
+    saliencies, zero text features."""
+    ds = SceneCompletionDataset(
+        str(scene_dir), ["scene_0.hdf5"],
+        _cfg(domain_randomization=False, subtract_mean_relevancy=False),
+        use_gt_seg=True,
+    )
+    s = ds[0]
+    assert s["input_feature_pts"].shape == (4, 256, 1)
+    # x50 rescale makes oracle features (mask - 0.5): values in {-0.5, 0.5}
+    vals = np.unique(np.round(s["input_feature_pts"], 3))
+    assert set(vals.tolist()) <= {-0.5, 0.0, 0.5}
+    assert (s["semantic_class_features"][:3] == 0).all()
+
+
+def test_compute_empty_mask_and_balanced_subsample():
+    from semantic_abstraction_tpu.data import (
+        balanced_class_subsample,
+        compute_empty_mask,
+    )
+
+    rs = np.random.RandomState(0)
+    depth = np.full((32, 32), 1.5, np.float32)
+    intr = np.array([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]])
+    mask = compute_empty_mask(
+        [[-1, -1, -0.1], [1, 1, 1.9]], depth, intr, np.eye(4), 10
+    )
+    assert mask.shape == (10, 10, 10)
+    assert mask.any() and not mask.all()
+
+    seg = np.array([0] * 90 + [1] * 10)
+    idx = balanced_class_subsample(seg, 20, rs)
+    # balancing should draw roughly half from the rare class
+    assert (seg[idx] == 1).sum() >= 5

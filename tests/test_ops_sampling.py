@@ -88,3 +88,54 @@ def test_resize_bicubic_uint8_close_to_pil():
     img_f = jnp.asarray(img_u8.astype(np.float32).transpose(2, 0, 1))
     got = np.clip(np.asarray(resize_bicubic_pil(img_f, (224, 224))), 0, 255)
     assert np.abs(got.transpose(1, 2, 0) - ref).mean() < 0.75
+
+
+def test_grid_sample_custom_vjp_matches_autodiff():
+    """The packed base-corner scatter backward (ops/sampling.py
+    _grid_sample_bwd) == plain autodiff through the gather-lerp."""
+    import jax
+
+    from semantic_abstraction_tpu.ops.sampling import (
+        _grid_sample_prep,
+        grid_sample_3d,
+    )
+
+    def plain_sample(vol, coords):
+        b, c, d, h, w = vol.shape
+        x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        z1 = jnp.minimum(z0 + 1, d - 1)
+        vol_flat = jnp.transpose(vol, (0, 2, 3, 4, 1)).reshape(b, d * h * w, c)
+
+        def g(zz, yy, xx):
+            lin = (zz * h + yy) * w + xx
+            return jnp.take_along_axis(vol_flat, lin[..., None], axis=1)
+
+        c000, c001, c010, c011 = g(z0, y0, x0), g(z0, y0, x1), g(z0, y1, x0), g(z0, y1, x1)
+        c100, c101, c110, c111 = g(z1, y0, x0), g(z1, y0, x1), g(z1, y1, x0), g(z1, y1, x1)
+        fx, fy, fz = fx[..., None], fy[..., None], fz[..., None]
+        c00 = c000 * (1 - fx) + c001 * fx
+        c01 = c010 * (1 - fx) + c011 * fx
+        c10 = c100 * (1 - fx) + c101 * fx
+        c11 = c110 * (1 - fx) + c111 * fx
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        return c0 * (1 - fz) + c1 * fz
+
+    rs = np.random.RandomState(0)
+    vol = jnp.asarray(rs.randn(2, 4, 6, 5, 7).astype(np.float32))
+    coords = jnp.asarray(rs.uniform(-1.3, 1.3, (2, 300, 3)).astype(np.float32))
+    gout = jnp.asarray(rs.randn(2, 300, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_3d(vol, coords)),
+        np.asarray(plain_sample(vol, coords)), atol=1e-5,
+    )
+    gv1, gc1 = jax.grad(lambda v, c: (grid_sample_3d(v, c) * gout).sum(),
+                        argnums=(0, 1))(vol, coords)
+    gv2, gc2 = jax.grad(lambda v, c: (plain_sample(v, c) * gout).sum(),
+                        argnums=(0, 1))(vol, coords)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-4,
+                               rtol=1e-3)
