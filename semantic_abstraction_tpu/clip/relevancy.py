@@ -129,7 +129,21 @@ def gradcam(
     num_labels = zeroshot_weights.shape[1]
     eye = jnp.eye(t, dtype=jnp.float32)
     r_mat = jnp.broadcast_to(eye, (num_labels, b, t, t))
+    # A fused relu(grad*attn)-mean-heads-matmul-accumulate Pallas kernel
+    # exists (ops/pallas_kernels.chefer_cam_accumulate) but measured 5.4x
+    # SLOWER than this XLA path on v5e (8.9 vs 1.7 ms per step: 288 tiny
+    # (50, 50) programs occupy the chip poorly while XLA fuses the cam
+    # intermediate away on its own) — so XLA stays the default.
+    use_pallas = False
     for j in range(n_tail):
+        if use_pallas and positive_attn_only:
+            from ..ops.pallas_kernels import chefer_cam_accumulate
+
+            attn_b = jnp.broadcast_to(
+                probs[j][None].astype(jnp.float32), grads[j].shape
+            )
+            r_mat = chefer_cam_accumulate(grads[j], attn_b, r_mat)
+            continue
         cam = grads[j].astype(jnp.float32) * probs[j][None].astype(jnp.float32)
         if positive_attn_only:
             cam = jnp.maximum(cam, 0.0)
