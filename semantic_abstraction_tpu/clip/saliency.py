@@ -335,6 +335,30 @@ class ClipSaliency:
         )
         return zeroshot_weights_from_features(feats)
 
+    def get_visual_feature(self, rgb: np.ndarray,
+                           tile_attn_mask=None) -> jax.Array:
+        """CLIP image features of an (H, W, 3) uint8 image, optionally with
+        a per-tile additive attention mask (reference
+        ClipWrapper.get_visual_feature, __init__.py:92-101)."""
+        from .model import encode_image
+
+        img = jnp.asarray(
+            np.ascontiguousarray(rgb.transpose(2, 0, 1)), jnp.float32
+        )[None] / 255.0
+        r = self.cfg.image_resolution
+        rm_h = jnp.asarray(resize_matrix(img.shape[2], r, "bicubic_pil"))
+        rm_w = jnp.asarray(resize_matrix(img.shape[3], r, "bicubic_pil"))
+        img = jnp.einsum("bchw,oh->bcow", img, rm_h)
+        img = jnp.einsum("bcow,pw->bcop", img, rm_w)
+        img = jnp.clip(img, 0.0, 1.0)
+        img = (img - jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]) / jnp.asarray(
+            CLIP_PIXEL_STD
+        )[:, None, None]
+        return encode_image(
+            self.params, img, self.cfg, self.compute_dtype,
+            tile_attn_mask=tile_attn_mask,
+        )[0]
+
     # -- relevancy ----------------------------------------------------------
 
     def _gradcam_batch(self, tiles: jax.Array, zw: jax.Array,

@@ -1,0 +1,81 @@
+"""generate_relevancy CLI integration: image demo + dataset writer whose
+output feeds the OVSSC reader (closing the datagen -> training loop)."""
+import os
+import pickle
+
+import h5py
+import numpy as np
+import pytest
+
+from synthetic_scene import make_scene
+
+
+def _strip_saliencies(path):
+    """Remove the pre-baked saliencies so the CLI regenerates them."""
+    with h5py.File(path, "a") as f:
+        del f["data/saliencies"]
+        del f["saliencies"]
+
+
+def test_image_command_writes_overlay(tmp_path, monkeypatch):
+    import imageio.v2 as imageio
+
+    from semantic_abstraction_tpu.cli import generate_relevancy
+
+    rs = np.random.RandomState(0)
+    img_path = str(tmp_path / "img.png")
+    imageio.imwrite(img_path, rs.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = str(tmp_path / "grads.png")
+    monkeypatch.chdir(tmp_path)
+    generate_relevancy.main([
+        "image", img_path, "--labels", "chair", "table",
+        "--random-weights", "--saliency_config", "chefer_et_al",
+        "--compute_dtype", "float32", "--output", out,
+    ])
+    assert os.path.exists(out)
+
+
+def test_dataset_command_roundtrip(tmp_path):
+    from semantic_abstraction_tpu.cli import generate_relevancy
+    from semantic_abstraction_tpu.data import DataConfig, SceneCompletionDataset
+
+    rs = np.random.RandomState(1)
+    scene = tmp_path / "FloorPlan1_physics_0.hdf5"
+    make_scene(scene, rs, h=32, w=32)
+    _strip_saliencies(str(scene))
+
+    generate_relevancy.main([
+        "dataset", str(tmp_path), "--random-weights",
+        "--saliency_config", "chefer_et_al", "--compute_dtype", "float32",
+    ])
+    with h5py.File(str(scene), "r") as f:
+        labels = np.array(
+            f["data/saliencies/rgb|chefer_et_al|saliency_text_labels"]
+        ).astype(str)
+        assert "mean" in labels
+        assert {"chair", "table"} <= set(labels)
+        # synonym for sofa generated too (novel-vocab split support)
+        assert "couch" in labels
+        feats = np.array(
+            f["data/saliencies/rgb|chefer_et_al|saliency_text_label_features"]
+        )
+        assert feats.shape == (len(labels), 512)
+
+    # the OVSSC reader consumes the CLI's output directly
+    ds = SceneCompletionDataset(
+        str(tmp_path), [scene.name],
+        DataConfig(num_input_pts=128, num_output_pts=128,
+                   saliency_config="chefer_et_al",
+                   domain_randomization=False),
+    )
+    s = ds[0]
+    assert s["input_feature_pts"].shape == (4, 128, 1)
+    assert np.isfinite(s["input_feature_pts"]).all()
+
+    # resume skip: second run leaves the file untouched
+    before = os.path.getmtime(str(scene))
+    generate_relevancy.main([
+        "dataset", str(tmp_path), "--random-weights",
+        "--saliency_config", "chefer_et_al", "--compute_dtype", "float32",
+    ])
+    assert os.path.getmtime(str(scene)) == before

@@ -88,3 +88,35 @@ def test_train_ovssc_end_to_end(dataset_dir, tmp_path):
     table = summarize_ovssc({"Ours": stats})
     assert "novel rooms" in table.columns
     assert len(table) == 1
+
+
+@pytest.fixture(scope="module")
+def vool_dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("thor_vool")
+    rs = np.random.RandomState(1)
+    names = []
+    for i in range(3):
+        name = f"FloorPlan{i + 1}_physics_{i}.hdf5"
+        make_scene(d / name, rs)
+        names.append(name)
+    splits = {"train": names[:2], "unseen_instances": names[2:]}
+    with open(d / "vool_split.pkl", "wb") as f:
+        pickle.dump(splits, f)
+    return d
+
+
+@pytest.mark.parametrize("approach", ["semantic_abstraction", "clip_spatial"])
+def test_train_vool_end_to_end(vool_dataset_dir, tmp_path, approach):
+    from semantic_abstraction_tpu.cli import train_vool
+
+    log = str(tmp_path / f"log_{approach}")
+    args = list(TINY_ARGS)
+    args[args.index("--epochs") + 1] = "1"
+    train_vool.main(
+        ["--file_path", str(vool_dataset_dir), "--log", log,
+         "--approach", approach] + args
+    )
+    assert os.path.exists(os.path.join(log, "latest.ckpt"))
+    with open(os.path.join(log, "detailed_stats.pkl"), "rb") as f:
+        df = pickle.load(f)
+    assert "spatial_relation_name" in df.columns
