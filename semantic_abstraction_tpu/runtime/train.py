@@ -191,12 +191,17 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
 ):
-    """Build the jitted sharded train step.
+    """Build the jitted (optionally multi-chip) train step.
 
-    With a mesh, params/opt_state are replicated and the batch is sharded
-    on its leading axis; XLA inserts the cross-chip gradient psum. Returns
-    (state, scalar stats dict incl. grad_norm — reference logs it per step,
-    utils.py:320-326).
+    Multi-chip runs through ``shard_map``: every device executes the FULL
+    forward/backward on its LOCAL batch shard and gradients/metrics are
+    pmean'ed over the data axis (DDP semantics, reference utils.py:256).
+    shard_map (rather than sharded-jit) is load-bearing: the model
+    interior uses ``lax.map`` over batch-derived axes (UNet patch
+    chunking, the grid-sampler's per-row VJP), and a scan over a
+    GLOBALLY-sharded axis cannot be partitioned — inside shard_map those
+    scans see only the local shard. Returns (state, scalar stats incl.
+    grad_norm — reference logs it per step, utils.py:320-326).
     """
 
     def step_fn(state: TrainState, batch: dict):
@@ -207,13 +212,18 @@ def make_train_step(
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        accuracy = aux["accuracy"]
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            accuracy = jax.lax.pmean(accuracy, axis_name)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         stats = {
             "loss": loss,
-            "accuracy": aux["accuracy"],
+            "accuracy": accuracy,
             "grad_norm": grad_norm,
         }
         return new_state, stats
@@ -221,31 +231,47 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis_name))
-    state_sh = TrainState(params=repl, opt_state=repl, step=repl)
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, data),
-        out_shardings=(state_sh, repl),
-        donate_argnums=(0,) if donate else (),
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_rep=False,
     )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(forward_loss: Callable, cfg, mesh=None, axis_name="data",
                    compute_dtype=jnp.bfloat16):
-    """Jitted eval forward returning (loss stats, logits, ignore mask)."""
+    """Jitted eval forward returning (loss stats, logits, ignore mask).
+
+    Multi-chip evaluation also runs under shard_map (see make_train_step);
+    per-point outputs come back sharded on the data axis, scalars pmean'd.
+    """
 
     def step_fn(params, batch):
         _, aux = forward_loss(params, cfg, batch, False, compute_dtype)
+        if mesh is not None:
+            aux = dict(aux)
+            aux["loss"] = jax.lax.pmean(aux["loss"], axis_name)
+            aux["accuracy"] = jax.lax.pmean(aux["accuracy"], axis_name)
         return aux
 
     if mesh is None:
         return jax.jit(step_fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis_name))
-    return jax.jit(step_fn, in_shardings=(repl, data))
+    out_specs = {
+        "loss": P(), "accuracy": P(), "logits": P(axis_name),
+        "ignore": P(axis_name),
+    }
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(sharded)
