@@ -66,11 +66,12 @@ class SemAbs3DConfig:
     unet_num_groups: int = 8
     unet_num_levels: int = 6
     # UNet applied to this many (batch x patch) volumes at a time via
-    # lax.map: at 128^3 the fp32-GN/conv-backward temps of all 4 patches
-    # at once exceed a v5e's 16 GB HBM; chunking trades no FLOPs for a
-    # smaller peak (0 = all at once). 2 is the fastest setting that fits
-    # a v5e (measured: 2.84 s/step vs 3.13 at chunk 1; chunk 4 OOMs).
-    unet_batch_chunk: int = 2
+    # lax.map; chunking trades no FLOPs for a smaller HBM peak (0 = all at
+    # once). After the GN/blocked-conv/sampler memory fixes, all 4 patches
+    # at once fit a v5e and are fastest (measured: 1.15 s/step at chunk 4
+    # vs 1.28 at chunk 2 vs OOM pre-fixes); lower this on smaller-HBM
+    # parts or for batch > 1 per chip.
+    unet_batch_chunk: int = 4
     network_inputs: Tuple[str, ...] = ("saliency",)
     use_pts_feat_extractor: bool = True
     pts_feat_extractor_hidden_dim: int = 128

@@ -51,6 +51,19 @@ TINY_ARGS = [
 ]
 
 
+def test_train_ovssc_semantic_aware(dataset_dir, tmp_path):
+    from semantic_abstraction_tpu.cli import train_ovssc
+
+    log = str(tmp_path / "log_semaware")
+    args = list(TINY_ARGS)
+    args[args.index("--epochs") + 1] = "1"
+    train_ovssc.main(
+        ["--file_path", str(dataset_dir), "--log", log,
+         "--approach", "semantic_aware"] + args
+    )
+    assert os.path.exists(os.path.join(log, "latest.ckpt"))
+
+
 def test_train_ovssc_end_to_end(dataset_dir, tmp_path):
     from semantic_abstraction_tpu.cli import train_ovssc
 
