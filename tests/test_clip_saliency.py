@@ -172,3 +172,26 @@ def test_chefer_config_single_scale():
     cfg = chefer_et_al_config(224)
     assert len(cfg.crops) == 1
     assert cfg.augmentations == 0 and not cfg.horizontal_flipping
+
+
+def test_gradcam_single_tail_fast_path_matches_general():
+    """The closed-form CLS-row gradient path (relevancy._gradcam_single_tail)
+    == the general vmapped-VJP path."""
+    from semantic_abstraction_tpu.clip import ClipConfig, init_clip_params
+    from semantic_abstraction_tpu.clip.relevancy import gradcam
+
+    cfg = ClipConfig(
+        embed_dim=32, image_resolution=64, vision_layers=3, vision_width=64,
+        vision_patch_size=16, text_width=32, text_heads=2, text_layers=2,
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    tiles = jnp.asarray(rs.randn(3, 3, 64, 64).astype(np.float32) * 0.1)
+    zw = jnp.asarray(rs.randn(32, 5).astype(np.float32))
+    for positive in (True, False):
+        fast = gradcam(params["visual"], tiles, zw, cfg, num_layers=1,
+                       positive_attn_only=positive)
+        gen = gradcam(params["visual"], tiles, zw, cfg, num_layers=1,
+                      positive_attn_only=positive, force_general=True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(gen),
+                                   atol=1e-5, rtol=1e-4)
