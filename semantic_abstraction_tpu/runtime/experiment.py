@@ -379,6 +379,12 @@ def train(
     except ImportError:
         pass
 
+    # tracing/profiling (SURVEY §5: the reference has only a wall-clock
+    # print; here SEMABS_PROFILE_DIR=<dir> captures a jax.profiler trace of
+    # the first training steps, viewable in tensorboard/xprof)
+    profile_dir = os.environ.get("SEMABS_PROFILE_DIR")
+    profile_steps = int(os.environ.get("SEMABS_PROFILE_STEPS", "3"))
+
     detailed_path = os.path.join(log_dir, "detailed_stats.pkl")
     all_detailed = []
     if os.path.exists(detailed_path):
@@ -407,8 +413,14 @@ def train(
                     for bi, batch in enumerate(loader):
                         if max_steps_per_epoch and bi >= max_steps_per_epoch:
                             break
+                        if profile_dir and global_step == 1:
+                            jax.profiler.start_trace(profile_dir)
                         db = device_batch(batch, task, mesh, text_encoder)
                         state, stats = train_step(state, db)
+                        if profile_dir and global_step == 1 + profile_steps:
+                            jax.block_until_ready(stats)
+                            jax.profiler.stop_trace()
+                            profile_dir = None
                         global_step += 1
                         losses.append(float(stats["loss"]))
                         if writers:
