@@ -21,12 +21,16 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
+    import pickle
+
     from flax import serialization
 
     payload = {
         "state": _to_numpy(state),
         "epochs": epoch,
-        "extra": extra or {},
+        # flax msgpack restores by TEMPLATE structure, which can't know the
+        # caller's extra keys — carry it as an opaque pickled-bytes leaf
+        "extra": np.frombuffer(pickle.dumps(extra or {}), dtype=np.uint8),
     }
     data = serialization.to_bytes(payload)
     tmp = path + ".tmp"
@@ -38,6 +42,8 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[dict] = None):
 def load_checkpoint(path: str, state_template):
     """Restore (state, start_epoch, extra); the template supplies the
     pytree structure (like the reference's state_dict key matching)."""
+    import pickle
+
     from flax import serialization
 
     with open(path, "rb") as f:
@@ -45,13 +51,14 @@ def load_checkpoint(path: str, state_template):
     template = {
         "state": _to_numpy(state_template),
         "epochs": 0,
-        "extra": {},
+        "extra": np.zeros(0, np.uint8),
     }
     payload = serialization.from_bytes(template, data)
     state = jax.tree_util.tree_map(
         lambda t, v: jax.numpy.asarray(v), state_template, payload["state"]
     )
-    return state, int(payload["epochs"]), payload["extra"]
+    extra = pickle.loads(payload["extra"].tobytes()) if len(payload["extra"]) else {}
+    return state, int(payload["epochs"]), extra
 
 
 def save_params_only(path: str, params):

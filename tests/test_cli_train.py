@@ -133,3 +133,38 @@ def test_train_vool_end_to_end(vool_dataset_dir, tmp_path, approach):
     with open(os.path.join(log, "detailed_stats.pkl"), "rb") as f:
         df = pickle.load(f)
     assert "spatial_relation_name" in df.columns
+
+
+def test_resume_from_checkpoint(dataset_dir, tmp_path):
+    """--load restores net+optimizer+epoch (reference utils.py:276-290)."""
+    import jax
+
+    from semantic_abstraction_tpu.cli import common
+    from semantic_abstraction_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from semantic_abstraction_tpu.runtime import (
+        init_train_state,
+        make_optimizer,
+    )
+    from semantic_abstraction_tpu.models import SemAbs3DConfig, init_semabs3d
+
+    cfg = SemAbs3DConfig(
+        voxel_shape=(16, 16, 16), unet_num_channels=8, unet_f_maps=4,
+        unet_num_groups=2, unet_num_levels=3, pts_feat_extractor_hidden_dim=16,
+    )
+    params = init_semabs3d(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(num_training_steps=10)
+    state = init_train_state(params, tx)
+    state = state._replace(step=state.step + 7)
+    path = str(tmp_path / "latest.ckpt")
+    save_checkpoint(path, state, epoch=5, extra={"note": "x"})
+    template = init_train_state(init_semabs3d(jax.random.PRNGKey(1), cfg), tx)
+    restored, epoch, extra = load_checkpoint(path, template)
+    assert epoch == 5
+    assert extra["note"] == "x"
+    assert int(restored.step) == 7
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,55 @@
+"""Visualize CLI building blocks (dense grid, obj export, dense decode)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semantic_abstraction_tpu.cli.visualize import (
+    _dense_decode,
+    export_obj,
+    get_sample_points,
+)
+from semantic_abstraction_tpu.models import (
+    SemAbs3DConfig,
+    init_semabs3d,
+    implicit_decoder,
+)
+
+BOUNDS = ((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9))
+
+
+def test_get_sample_points_grid():
+    pts = get_sample_points((4, 4, 4), BOUNDS)
+    assert pts.shape == (64, 3)
+    np.testing.assert_allclose(pts.min(axis=0), BOUNDS[0])
+    np.testing.assert_allclose(pts.max(axis=0), BOUNDS[1])
+
+
+def test_export_obj(tmp_path):
+    # solid ball occupancy
+    n = 16
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    occ = (np.sqrt(((g - n / 2) ** 2).sum(0)) < 5).astype(np.float32)
+    path = str(tmp_path / "ball.obj")
+    assert export_obj(occ, path, level=0.5)
+    text = open(path).read()
+    assert text.count("\nf ") > 10 and text.startswith("v ")
+    # empty volume -> no file
+    assert not export_obj(np.zeros((8, 8, 8), np.float32), str(tmp_path / "e.obj"))
+
+
+def test_dense_decode_matches_direct():
+    cfg = SemAbs3DConfig(
+        voxel_shape=(8, 8, 8), unet_num_channels=8, unet_f_maps=4,
+        unet_num_groups=2, unet_num_levels=2, pts_feat_extractor_hidden_dim=16,
+    )
+    params = init_semabs3d(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    vol = jnp.asarray(rs.randn(1, 8, 8, 8, 8).astype(np.float32))
+    pts = rs.uniform(-1, 1.9, (1000, 3)).astype(np.float32)
+    out = _dense_decode(params["decoder"], vol, cfg.grid, pts, True, chunk=256)
+    ref = np.asarray(
+        implicit_decoder(params["decoder"], vol, cfg.grid,
+                         jnp.asarray(pts)[None], True)[0, :, 0]
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
