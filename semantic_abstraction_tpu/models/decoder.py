@@ -63,6 +63,10 @@ def implicit_decoder(
     idx_f = grid.points_to_idxs(query_points, cast_to_int=False)
     shape = jnp.asarray(grid.grid_shape, dtype=idx_f.dtype)
     coords = 2.0 * (idx_f / shape) - 1.0
+    # query points are data, never parameters: stop_gradient lets XLA
+    # dead-code-eliminate the sampler VJP's d(coords) branch (a packed
+    # corner gather + lerp derivatives per point)
+    coords = jax.lax.stop_gradient(coords)
     sampled = grid_sample_3d(features_vol, coords)  # (B, N, C)
     if concat_xyz_pts:
         sampled = jnp.concatenate([sampled, coords.astype(sampled.dtype)], axis=-1)
