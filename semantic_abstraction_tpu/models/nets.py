@@ -72,6 +72,10 @@ class SemAbs3DConfig:
     # vs 1.28 at chunk 2 vs OOM pre-fixes); lower this on smaller-HBM
     # parts or for batch > 1 per chip.
     unet_batch_chunk: int = 4
+    # remat policy for the UNet blocks: "dots" (fastest that fits the
+    # single-stream model) or "full" (lowest memory; needed for VOOL's
+    # two completion streams)
+    unet_remat_policy: str = "dots"
     network_inputs: Tuple[str, ...] = ("saliency",)
     use_pts_feat_extractor: bool = True
     pts_feat_extractor_hidden_dim: int = 128
@@ -178,12 +182,14 @@ def semabs3d_feature_vol(
             lambda v: residual_unet3d(
                 params["unet"], v, cfg.unet_num_groups,
                 compute_dtype=compute_dtype,
+                remat_policy=cfg.unet_remat_policy,
             ),
             vols,
         )
         return out.reshape(vol.shape[0], *out.shape[2:])
     return residual_unet3d(
-        params["unet"], vol, cfg.unet_num_groups, compute_dtype=compute_dtype
+        params["unet"], vol, cfg.unet_num_groups, compute_dtype=compute_dtype,
+        remat_policy=cfg.unet_remat_policy,
     )
 
 
@@ -287,13 +293,26 @@ def semantic_aware_ovssc_forward(
 
 @dataclasses.dataclass(frozen=True)
 class SemAbsVOOLConfig:
-    """Two-stream completion + learned relation pointer (net.py:469-579)."""
+    """Two-stream completion + learned relation pointer (net.py:469-579).
 
-    completion: SemAbs3DConfig = dataclasses.field(default_factory=SemAbs3DConfig)
+    The completion default uses unet_batch_chunk=2: VOOL holds TWO UNet
+    passes (target + reference streams) plus a 2C spatial sampler, and the
+    full-size step OOMs a v5e at chunk 4 (20.6 vs 15.75 GB)."""
+
+    completion: SemAbs3DConfig = dataclasses.field(
+        default_factory=lambda: SemAbs3DConfig(
+            unet_batch_chunk=2, unet_remat_policy="full"
+        )
+    )
     pointing_method: str = "cosine_sim"
     pointing_dim: int = 64
     pointing_temperature: float = 0.07
     decoder_concat_xyz_pts: bool = True
+    # process this many descriptions per lax.map step (0 = all at once):
+    # per-description execution bounds the live set to ONE pair of UNet
+    # feature volumes + one decode, which is what fits the full-size
+    # two-stream model on a 16 GB chip
+    desc_chunk: int = 1
 
 
 def init_semabs_vool(key, cfg: SemAbsVOOLConfig, dtype=jnp.float32):
@@ -325,22 +344,38 @@ def semabs_vool_forward(
 ) -> jax.Array:
     """Saliency streams (B, D, N, 1) + relation ids (B, D) -> logits (B, D, M)."""
     b, nd, m = output_xyz_pts.shape[:3]
-    target_vol = semabs3d_feature_vol(
-        params["completion"], cfg.completion, input_xyz_pts,
-        input_target_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
-    )
-    reference_vol = semabs3d_feature_vol(
-        params["completion"], cfg.completion, input_xyz_pts,
-        input_reference_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
-    )
-    feature_vol = jnp.concatenate([target_vol, reference_vol], axis=1)
-    sampled = implicit_decoder(
-        params["spatial_sampler"],
-        feature_vol,
-        cfg.completion.grid,
-        output_xyz_pts.reshape(b * nd, m, 3),
-        cfg.decoder_concat_xyz_pts,
-    )  # (B*D, M, pointing_dim)
+
+    def streams_to_sampled(tgt, ref, out_pts):
+        """(B', D', N, 1) streams + (B'*D', M, 3) -> sampled (B'*D', M, pd)."""
+        target_vol = semabs3d_feature_vol(
+            params["completion"], cfg.completion, input_xyz_pts, tgt,
+            tsdf_vol, valid_mask, compute_dtype,
+        )
+        reference_vol = semabs3d_feature_vol(
+            params["completion"], cfg.completion, input_xyz_pts, ref,
+            tsdf_vol, valid_mask, compute_dtype,
+        )
+        feature_vol = jnp.concatenate([target_vol, reference_vol], axis=1)
+        return implicit_decoder(
+            params["spatial_sampler"], feature_vol, cfg.completion.grid,
+            out_pts, cfg.decoder_concat_xyz_pts,
+        )
+
+    dchunk = cfg.desc_chunk
+    if dchunk and b == 1 and nd > dchunk and nd % dchunk == 0:
+        # per-description execution: one (target, reference) volume pair
+        # live at a time (the all-at-once two-stream step OOMs 16 GB HBM)
+        tgt = input_target_saliency_pts.reshape(nd // dchunk, 1, dchunk, -1, 1)
+        ref = input_reference_saliency_pts.reshape(nd // dchunk, 1, dchunk, -1, 1)
+        outp = output_xyz_pts.reshape(nd // dchunk, dchunk, m, 3)
+        sampled = jax.lax.map(
+            lambda args: streams_to_sampled(*args), (tgt, ref, outp)
+        ).reshape(nd, m, -1)
+    else:
+        sampled = streams_to_sampled(
+            input_target_saliency_pts, input_reference_saliency_pts,
+            output_xyz_pts.reshape(b * nd, m, 3),
+        )  # (B*D, M, pointing_dim)
     rel = params["relation_embeddings"][spatial_relation_id]  # (B, D, pd)
     logits = pointing_attention(
         params["pointer"],

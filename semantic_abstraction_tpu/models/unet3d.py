@@ -352,7 +352,8 @@ def _level_is_blocked(i: int, blocked_levels: int, channels: int,
 
 def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
                     compute_dtype=None, remat: bool = True,
-                    blocked_levels: int = 2) -> jax.Array:
+                    blocked_levels: int = 2,
+                    remat_policy: str = "dots") -> jax.Array:
     """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W).
 
     With ``remat`` each residual block is wrapped in ``jax.checkpoint``:
@@ -369,11 +370,14 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
         x = x.astype(compute_dtype)
 
     if remat:
-        # dots_saveable: keep conv/matmul outputs, recompute the cheap
-        # elementwise/GN work in the backward pass — fits a v5e at the
-        # full 128^3 config and measured 0.99 vs 1.15 s/step against
-        # nothing_saveable (which recomputes the convs too)
-        policy = jax.checkpoint_policies.dots_saveable
+        # "dots" (dots_saveable) keeps conv/matmul outputs and recomputes
+        # the cheap elementwise/GN work in the backward pass — fits a v5e
+        # at the full single-stream 128^3 config and measured 0.99 vs
+        # 1.15 s/step against "full" (nothing_saveable, which also
+        # recomputes the convs). Two-stream models (VOOL) need "full".
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if remat_policy == "dots"
+                  else jax.checkpoint_policies.nothing_saveable)
         block = jax.checkpoint(ext_resnet_block, static_argnums=(2,),
                                policy=policy)
         block_b = jax.checkpoint(blocked_ext_resnet_block, static_argnums=(2,),

@@ -197,3 +197,24 @@ def test_lamb_matches_reference_torch():
         updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
         params = jax.tree_util.tree_map(lambda p_, u: p_ + u, params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]), ref_w, atol=1e-6, rtol=1e-5)
+
+
+def test_semabs_vool_desc_chunk_equivalence():
+    """Per-description lax.map execution == all-at-once (desc_chunk=0)."""
+    import dataclasses
+
+    rs = np.random.RandomState(11)
+    cfg1 = SemAbsVOOLConfig(completion=TINY, pointing_dim=8, desc_chunk=1)
+    cfg0 = dataclasses.replace(cfg1, desc_chunk=0)
+    params = init_semabs_vool(jax.random.PRNGKey(0), cfg1)
+    kwargs = dict(
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_target_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        input_reference_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 30, 3)).astype(np.float32)),
+        spatial_relation_id=jnp.asarray([[0, 3]]),
+    )
+    out1 = semabs_vool_forward(params, cfg1, **kwargs)
+    out0 = semabs_vool_forward(params, cfg0, **kwargs)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               atol=1e-5, rtol=1e-4)
