@@ -168,3 +168,25 @@ def test_resume_from_checkpoint(dataset_dir, tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_vool(vool_dataset_dir, tmp_path):
+    from semantic_abstraction_tpu.cli import eval as eval_cli
+    from semantic_abstraction_tpu.cli import train_vool
+
+    log = str(tmp_path / "log_eval_vool")
+    args = list(TINY_ARGS)
+    args[args.index("--epochs") + 1] = "1"
+    train_vool.main(
+        ["--file_path", str(vool_dataset_dir), "--log", log] + args
+    )
+    eval_cli.main([
+        "--file_path", str(vool_dataset_dir),
+        "--load", os.path.join(log, "latest.ckpt"),
+        "--task", "vool", "--max_batches", "1",
+    ])
+    with open(os.path.join(log, "latest_eval_stats.pkl"), "rb") as f:
+        stats = pickle.load(f)
+    assert {"target_obj_name", "reference_obj_name",
+            "spatial_relation_name"} <= set(stats.columns)
+    assert "voxel64x64x64_iou" in stats.columns  # detailed-analysis shapes
