@@ -53,3 +53,37 @@ def test_dense_decode_matches_direct():
                          jnp.asarray(pts)[None], True)[0, :, 0]
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_visualize_ovssc_inference_end_to_end(tmp_path):
+    """Scene pickle -> relevancy (random CLIP) -> dense inference -> objs."""
+    import pickle
+
+    from semantic_abstraction_tpu.cli import visualize
+
+    rs = np.random.RandomState(0)
+    h, w = 48, 48
+    scene = {
+        "rgb": rs.randint(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rs.uniform(0.5, 1.6, (h, w)).astype(np.float32),
+        "cam_intr": np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                             np.float32),
+        "cam_extr": np.eye(4, dtype=np.float32),
+        "ovssc_obj_classes": ["chair", "table"],
+        "descriptions": [],
+    }
+    scene_path = str(tmp_path / "kitchen.pkl")
+    with open(scene_path, "wb") as f:
+        pickle.dump(scene, f)
+    visualize.main([
+        "ovssc-inference", scene_path,
+        "--dump-path", str(tmp_path / "vis"),
+        "--voxel_shape", "16", "16", "16",
+        "--sampling_shape", "24", "24", "24",
+        "--num_input_pts", "512",
+        "--random-weights", "--saliency_config", "chefer_et_al",
+        "--compute_dtype", "float32",
+        "--cutoff", "-100",  # random weights: force non-empty prediction
+    ])
+    out_dir = tmp_path / "vis" / "kitchen"
+    assert out_dir.exists()
