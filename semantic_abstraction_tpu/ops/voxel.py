@@ -120,27 +120,66 @@ class VoxelGrid:
             # route invalid points to a trash bin past the end
             seg_ids = jnp.where(valid_mask.reshape(-1), seg_ids, batch * nv)
         feats = feature_pts.reshape(batch * num_pts, channels)
-        num_segments = batch * nv + (1 if valid_mask is not None else 0)
 
-        if reduce_method == "max":
-            out = jax.ops.segment_max(feats, seg_ids, num_segments=num_segments)
-            counts = jax.ops.segment_sum(
-                jnp.ones((seg_ids.shape[0],), dtype=jnp.int32),
-                seg_ids,
-                num_segments=num_segments,
-            )
-            out = jnp.where(counts[:, None] > 0, out, 0.0).astype(feats.dtype)
-        elif reduce_method == "mean":
-            sums = jax.ops.segment_sum(feats, seg_ids, num_segments=num_segments)
-            counts = jax.ops.segment_sum(
-                jnp.ones((seg_ids.shape[0],), dtype=feats.dtype),
-                seg_ids,
-                num_segments=num_segments,
-            )
-            out = sums / jnp.maximum(counts[:, None], 1.0)
-        else:
+        # TPU scatter throughput is set by the LANE WIDTH of each updated
+        # row, not its byte count: a 16-channel segment reduce runs ~4.5x
+        # slower than a 128-lane one for the same rows (each narrow update
+        # still read-modify-writes a full (8,128) tile). Pack k = 128/C
+        # consecutive bins into one 128-wide row and place each point's
+        # C channels in its bin's column group; empty-bin handling rides
+        # the reduction identity (-inf for max, a packed ones-column for
+        # mean) so no second narrow counts scatter is needed.
+        pack = 128 // channels if channels <= 128 else 0
+        packable = pack > 0 and 128 % channels == 0 and nv % pack == 0
+        if reduce_method not in ("max", "mean"):
             raise ValueError(f"unknown reduce_method {reduce_method!r}")
-        if valid_mask is not None:
+        if packable and pack > 1:
+            rows = seg_ids // pack
+            group = (seg_ids % pack).astype(jnp.int32)
+            num_rows = batch * nv // pack + (1 if valid_mask is not None else 0)
+            onehot = group[:, None] == jnp.arange(pack, dtype=jnp.int32)[None, :]
+            fill = jnp.asarray(
+                -jnp.inf if reduce_method == "max" else 0.0, feats.dtype
+            )
+            wide = jnp.where(
+                onehot[:, :, None], feats[:, None, :].astype(feats.dtype), fill
+            ).reshape(-1, 128)
+            if reduce_method == "max":
+                out_wide = jax.ops.segment_max(wide, rows, num_segments=num_rows)
+                out = out_wide.reshape(-1, channels)
+                out = jnp.where(jnp.isneginf(out[:, :1]), 0.0, out).astype(
+                    feats.dtype
+                )
+            else:
+                sums = jax.ops.segment_sum(wide, rows, num_segments=num_rows)
+                ones = jnp.where(onehot[:, :, None], 1.0, 0.0).astype(
+                    feats.dtype
+                ).reshape(-1, 128)
+                counts = jax.ops.segment_sum(ones, rows, num_segments=num_rows)
+                out = (
+                    sums.reshape(-1, channels)
+                    / jnp.maximum(counts.reshape(-1, channels), 1.0)
+                )
             out = out[: batch * nv]
+        else:
+            num_segments = batch * nv + (1 if valid_mask is not None else 0)
+            if reduce_method == "max":
+                out = jax.ops.segment_max(feats, seg_ids, num_segments=num_segments)
+                counts = jax.ops.segment_sum(
+                    jnp.ones((seg_ids.shape[0],), dtype=jnp.int32),
+                    seg_ids,
+                    num_segments=num_segments,
+                )
+                out = jnp.where(counts[:, None] > 0, out, 0.0).astype(feats.dtype)
+            else:
+                sums = jax.ops.segment_sum(feats, seg_ids, num_segments=num_segments)
+                counts = jax.ops.segment_sum(
+                    jnp.ones((seg_ids.shape[0],), dtype=feats.dtype),
+                    seg_ids,
+                    num_segments=num_segments,
+                )
+                out = sums / jnp.maximum(counts[:, None], 1.0)
+            if valid_mask is not None:
+                out = out[: batch * nv]
         vol = out.reshape(batch, *self.grid_shape, channels)
         return jnp.transpose(vol, (0, 4, 1, 2, 3))
