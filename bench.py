@@ -51,7 +51,7 @@ def main():
 
     params = init_clip_params(jax.random.PRNGKey(0), VIT_B_32)
     sal = ClipSaliency(params, VIT_B_32, compute_dtype=jnp.bfloat16,
-                       tile_batch_size=32)
+                       tile_batch_size=64)
     config = ours_config(h)
 
     # warmup: compile every (scale, chunk) shape once.

@@ -281,6 +281,33 @@ def extract_tiles(images: jax.Array, offsets: jax.Array, tile_size: int,
     return (tiles - mean) / std
 
 
+def _accumulate_body(rel: jax.Array, plan: ScalePlan, hw: Tuple[int, int],
+                     n_images: int) -> jax.Array:
+    """Traceable body of the scatter-free overlap-add (see
+    ClipSaliency._accumulate for the design notes)."""
+    ts, s, nx, ny = plan.tile_size, plan.stride, plan.nx, plan.ny
+    g = rel.shape[-1]
+    k = -(-ts // s)  # ceil
+    up = np.zeros((k * s, g), np.float32)
+    up[:ts] = resize_matrix(g, ts, "bilinear_torch")
+    h, w = hw
+    l = rel.shape[0]
+    gsum = rel.reshape(l, n_images, ny, nx, g, g).sum(axis=1)
+    cells = jnp.zeros((l, nx + k - 1, ny + k - 1, s, s), jnp.float32)
+    for di in range(k):
+        rrow = jnp.asarray(up[di * s : (di + 1) * s])
+        for dj in range(k):
+            rcol = jnp.asarray(up[dj * s : (dj + 1) * s])
+            block = jnp.einsum("lyxgh,pg,qh->lxypq", gsum, rrow, rcol)
+            cells = cells.at[:, di : di + nx, dj : dj + ny].add(block)
+    big = cells.transpose(0, 1, 3, 2, 4).reshape(
+        l, (nx + k - 1) * s, (ny + k - 1) * s
+    )
+    bh, bw = big.shape[1:]
+    big = jnp.pad(big, ((0, 0), (0, max(0, h - bh)), (0, max(0, w - bw))))
+    return big[:, :h, :w]
+
+
 # ---------------------------------------------------------------------------
 # The extractor
 # ---------------------------------------------------------------------------
@@ -316,6 +343,9 @@ class ClipSaliency:
         self._jitter_jit = jax.jit(jax.vmap(color_jitter, in_axes=(0, None)))
         self._extract_jit = {}
         self._accum_jit = {}
+        self._convolve_jit = {}
+        self._prep_jit = {}
+        self._combine_jit = {}
 
     # -- text ---------------------------------------------------------------
 
@@ -412,39 +442,14 @@ class ClipSaliency:
         scatter over ~230k indices was the pathological bottleneck of the
         naive port of reference __init__.py:205-233.)
         """
-        ts, s, nx, ny = plan.tile_size, plan.stride, plan.nx, plan.ny
-        sig = (rel.shape, ts, s, nx, ny, hw, n_images)
+        sig = (rel.shape, plan.tile_size, plan.stride, plan.nx, plan.ny,
+               hw, n_images)
         if sig not in self._accum_jit:
-            g = rel.shape[-1]
-            k = -(-ts // s)  # ceil
-            up = np.zeros((k * s, g), np.float32)
-            up[:ts] = resize_matrix(g, ts, "bilinear_torch")
-            h, w = hw
-
-            def accum(rel_):
-                l = rel_.shape[0]
-                gsum = rel_.reshape(l, n_images, ny, nx, g, g).sum(axis=1)
-                cells = jnp.zeros((l, nx + k - 1, ny + k - 1, s, s), jnp.float32)
-                for di in range(k):
-                    rrow = jnp.asarray(up[di * s : (di + 1) * s])
-                    for dj in range(k):
-                        rcol = jnp.asarray(up[dj * s : (dj + 1) * s])
-                        block = jnp.einsum(
-                            "lyxgh,pg,qh->lxypq", gsum, rrow, rcol
-                        )
-                        cells = cells.at[
-                            :, di : di + nx, dj : dj + ny
-                        ].add(block)
-                big = cells.transpose(0, 1, 3, 2, 4).reshape(
-                    l, (nx + k - 1) * s, (ny + k - 1) * s
+            self._accum_jit[sig] = jax.jit(
+                functools.partial(
+                    _accumulate_body, plan=plan, hw=hw, n_images=n_images
                 )
-                bh, bw = big.shape[1:]
-                big = jnp.pad(
-                    big, ((0, 0), (0, max(0, h - bh)), (0, max(0, w - bw)))
-                )
-                return big[:, :h, :w]
-
-            self._accum_jit[sig] = jax.jit(accum)
+            )
         return self._accum_jit[sig](rel)
 
     def get_clip_saliency(
@@ -476,34 +481,133 @@ class ClipSaliency:
                 maps = maps - dmaps.mean(axis=0)
         return maps, label_feats
 
+    def _scale_fn(self, hw: Tuple[int, int], plan: ScalePlan,
+                  config: SaliencyConfig, num_labels: int, n_images: int):
+        """ONE jitted dispatch per (image, scale): extract -> chunked
+        gradcam (lax.map) -> flip-average -> overlap-add -> count-normalized
+        canvas.
+
+        The earlier structure (a python loop dispatching one jit per tile
+        chunk) left the chip ~64% idle through the axon tunnel: ~108
+        dispatches x ~7 ms submission latency dominated the 0.4 s of
+        device work. Fusing each scale into one computation with
+        ``lax.map`` over tile chunks (tiles are extracted INSIDE the map
+        body, so at most one chunk of preprocessed tiles is ever
+        materialized) collapses that to ~6 round-trips per image. (A
+        single all-scales jit was tried and exceeded the remote-compile
+        request size limit.)
+        """
+        sig = (hw, plan.tile_size, plan.stride, plan.nx, plan.ny,
+               config.positive_attn_only, config.horizontal_flipping,
+               num_labels, n_images)
+        if sig in self._convolve_jit:
+            return self._convolve_jit[sig]
+        resolution = self.cfg.image_resolution
+        mean = jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
+        std = jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
+        ts = plan.tile_size
+        t_count = plan.offsets.shape[0]
+        n = n_images * t_count
+        # scales with fewer tiles than the batch run as ONE exact-size
+        # chunk instead of padding up (the top scale has ~12 tiles; padding
+        # to 64 would 5x its cost)
+        bs = min(self.tile_batch_size, n)
+        img_idx = np.arange(n, dtype=np.int32) // t_count
+        offs = np.tile(plan.offsets, (n_images, 1))
+        pad = (-n) % bs
+        if pad:
+            img_idx = np.concatenate([img_idx, np.zeros(pad, np.int32)])
+            offs = np.concatenate([offs, np.zeros((pad, 2), np.int32)], axis=0)
+        nchunks = (n + pad) // bs
+        rm = resize_matrix(ts, resolution, "bicubic_pil")
+
+        def fn(visual, images, zw):
+            rm_c = jnp.asarray(rm)
+
+            def chunk_fn(args):
+                ii, oo = args  # (bs,), (bs, 2)
+
+                def crop_one(i, off):
+                    return jax.lax.dynamic_slice(
+                        images, (i, 0, off[0], off[1]), (1, 3, ts, ts)
+                    )[0]
+
+                tiles = jax.vmap(crop_one)(ii, oo)
+                tiles = jnp.einsum("bchw,oh->bcow", tiles, rm_c)
+                tiles = jnp.einsum("bcow,pw->bcop", tiles, rm_c)
+                tiles = (jnp.clip(tiles, 0.0, 1.0) - mean) / std
+                rel = gradcam(
+                    visual, tiles, zw, cfg=self.cfg,
+                    num_layers=self.num_layers,
+                    positive_attn_only=config.positive_attn_only,
+                    compute_dtype=self.compute_dtype,
+                )
+                if config.horizontal_flipping:
+                    rel_f = gradcam(
+                        visual, tiles[..., ::-1], zw,
+                        cfg=self.cfg, num_layers=self.num_layers,
+                        positive_attn_only=config.positive_attn_only,
+                        compute_dtype=self.compute_dtype,
+                    )
+                    rel = (rel + rel_f[..., ::-1]) / 2.0
+                return rel  # (L, bs, g, g)
+
+            rels = jax.lax.map(
+                chunk_fn,
+                (jnp.asarray(img_idx.reshape(nchunks, bs)),
+                 jnp.asarray(offs.reshape(nchunks, bs, 2))),
+            )  # (nchunks, L, bs, g, g)
+            g = rels.shape[-1]
+            rel = jnp.moveaxis(rels, 1, 0).reshape(
+                num_labels, nchunks * bs, g, g
+            )[:, :n]
+            canvas = _accumulate_body(rel, plan, hw, n_images)
+            return canvas / jnp.asarray(plan.count)[None]
+
+        self._convolve_jit[sig] = jax.jit(fn)
+        return self._convolve_jit[sig]
+
     def _saliency_convolve(self, img: np.ndarray, zw: jax.Array,
                            config: SaliencyConfig, key: jax.Array) -> jax.Array:
         h, w = img.shape[:2]
         n_images = 1 + config.augmentations
         plans = tile_plan((h, w), config.crops, n_images)
-        base = jnp.asarray(
-            np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.float32
-        ) / 255.0
-        if config.augmentations > 0:
-            keys = jax.random.split(key, config.augmentations)
-            jittered = self._jitter_jit(keys, base)
-            images = jnp.concatenate([base[None], jittered], axis=0)
-        else:
-            images = base[None]
+        # upload uint8 (4x fewer bytes than f32: the axon tunnel moves
+        # ~20-35 MB/s, so host<->device bytes are precious); /255 on device
+        base_u8 = jnp.asarray(
+            np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.uint8
+        )
+        sig_p = (base_u8.shape, config.augmentations)
+        if sig_p not in self._prep_jit:
+            augs = config.augmentations
 
-        total = jnp.zeros((zw.shape[1], h, w), jnp.float32)
-        for plan in plans:
-            if plan.offsets.shape[0] == 0:
-                continue
-            esig = (images.shape, plan.offsets.shape, plan.tile_size)
-            if esig not in self._extract_jit:
-                self._extract_jit[esig] = jax.jit(
-                    functools.partial(extract_tiles, tile_size=plan.tile_size)
-                )
-            tiles = self._extract_jit[esig](images, jnp.asarray(plan.offsets))
-            rel = self._run_tiles(
-                tiles, zw, config.positive_attn_only, config.horizontal_flipping
-            )  # (L, I*ny*nx, g, g)
-            canvas = self._accumulate(rel, plan, (h, w), n_images)
-            total = total + canvas / jnp.asarray(plan.count)[None]
-        return total / len(plans)
+            def prep(b_u8, keys):
+                b = b_u8.astype(jnp.float32) / 255.0
+                if augs > 0:
+                    jittered = jax.vmap(color_jitter, in_axes=(0, None))(
+                        keys, b)
+                    return jnp.concatenate([b[None], jittered], axis=0)
+                return b[None]
+
+            self._prep_jit[sig_p] = jax.jit(prep)
+        keys = (jax.random.split(key, config.augmentations)
+                if config.augmentations > 0
+                else jnp.zeros((0, 2), jnp.uint32))
+        images = self._prep_jit[sig_p](base_u8, keys)
+        canvases = [
+            self._scale_fn((h, w), plan, config, int(zw.shape[1]), n_images)(
+                self.params["visual"], images, zw
+            )
+            for plan in plans
+            if plan.offsets.shape[0] > 0
+        ]
+        # one combine dispatch; float16 output matches the reference's
+        # half-precision canvases (CLIP/clip/__init__.py:146-151) and
+        # halves the device->host readback
+        sig_c = (len(canvases), canvases[0].shape)
+        if sig_c not in self._combine_jit:
+            n_plans = len(plans)
+            self._combine_jit[sig_c] = jax.jit(
+                lambda cs: (sum(cs) / n_plans).astype(jnp.float16)
+            )
+        return self._combine_jit[sig_c](canvases)

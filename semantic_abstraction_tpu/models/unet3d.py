@@ -28,6 +28,7 @@ import functools
 from typing import Sequence
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -293,6 +294,7 @@ def blocked_ext_resnet_block(params: dict, xb: jax.Array,
 
     def single(p, h, relu):
         h = blocked_group_norm(h, p["gn_scale"], p["gn_bias"], num_groups)
+        h = jax.ad_checkpoint.checkpoint_name(h, "gn_out")
         h = blocked_conv3d(h, p["w"])
         return jax.nn.relu(h) if relu else h
 
@@ -324,6 +326,7 @@ def _single_conv(params: dict, x: jax.Array, num_groups: int, relu: bool) -> jax
     here; blocked-space execution pays only if a whole level stays in the
     blocked basis."""
     x = group_norm(x, params["gn_scale"], params["gn_bias"], num_groups)
+    x = jax.ad_checkpoint.checkpoint_name(x, "gn_out")
     x = conv3d(x, params["w"])
     if relu:
         x = jax.nn.relu(x)
@@ -369,15 +372,26 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
-    if remat:
+    if remat and remat_policy != "save_all":
         # "dots" (dots_saveable) keeps conv/matmul outputs and recomputes
         # the cheap elementwise/GN work in the backward pass — fits a v5e
         # at the full single-stream 128^3 config and measured 0.99 vs
         # 1.15 s/step against "full" (nothing_saveable, which also
-        # recomputes the convs). Two-stream models (VOOL) need "full".
-        policy = (jax.checkpoint_policies.dots_saveable
-                  if remat_policy == "dots"
-                  else jax.checkpoint_policies.nothing_saveable)
+        # recomputes the convs). "save_all" disables remat entirely
+        # (everything saved; largest HBM footprint). Two-stream models
+        # (VOOL) need "full".
+        if remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif remat_policy == "dots_gn":
+            # also save GroupNorm outputs (tagged "gn_out"): the backward
+            # pass then skips recomputing the GN stats/normalize over the
+            # 128^3 activations at ~2.5 GB extra HBM
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names("gn_out"),
+            )
+        else:
+            policy = jax.checkpoint_policies.nothing_saveable
         block = jax.checkpoint(ext_resnet_block, static_argnums=(2,),
                                policy=policy)
         block_b = jax.checkpoint(blocked_ext_resnet_block, static_argnums=(2,),
