@@ -159,7 +159,7 @@ def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18):
     def run(vol_, chunks_):
         def body(c):
             return implicit_decoder(decoder_params, vol_, grid, c[None],
-                                    concat_xyz)[0, :, 0]
+                                    concat_xyz, channels_last=True)[0, :, 0]
 
         return jax.lax.map(body, chunks_)
 
@@ -270,7 +270,7 @@ def cmd_vool(args):
                                     tgt, compute_dtype=jnp.bfloat16)
         rvol = semabs3d_feature_vol(params["completion"], cfg.completion, xyz,
                                     ref, compute_dtype=jnp.bfloat16)
-        fvol = jnp.concatenate([tvol, rvol], axis=1)
+        fvol = jnp.concatenate([tvol, rvol], axis=-1)
         rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
 
         import jax
@@ -286,7 +286,7 @@ def cmd_vool(args):
             def body(c):
                 sampled = implicit_decoder(
                     params["spatial_sampler"], fvol_, cfg.completion.grid,
-                    c[None], cfg.decoder_concat_xyz_pts,
+                    c[None], cfg.decoder_concat_xyz_pts, channels_last=True,
                 )
                 return pointing_attention(
                     params["pointer"], sampled, rel_[None, None],

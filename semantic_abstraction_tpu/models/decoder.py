@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import grid_sample_3d
+from ..ops.sampling import grid_sample_3d, grid_sample_3d_cl
 from ..ops.voxel import VoxelGrid
 
 
@@ -53,12 +53,17 @@ def implicit_decoder(
     grid: VoxelGrid,
     query_points: jax.Array,
     concat_xyz_pts: bool = False,
+    channels_last: bool = False,
 ) -> jax.Array:
     """(B, C, gx, gy, gz) volume + (B, N, 3) world points -> (B, N, output_dim).
 
     Reference net.py:215-256: world points -> clamped float voxel indices ->
     /grid_shape -> *2-1 -> grid_sample(bilinear, border, align_corners=True)
     -> optional xyz concat -> Linear-LeakyReLU-Linear.
+
+    With ``channels_last`` the volume is (B, gx, gy, gz, C) and sampling
+    skips the NCDHW->channel-minor relayout (the train-step hot path:
+    the UNet emits channel-last directly).
     """
     idx_f = grid.points_to_idxs(query_points, cast_to_int=False)
     shape = jnp.asarray(grid.grid_shape, dtype=idx_f.dtype)
@@ -67,7 +72,10 @@ def implicit_decoder(
     # dead-code-eliminate the sampler VJP's d(coords) branch (a packed
     # corner gather + lerp derivatives per point)
     coords = jax.lax.stop_gradient(coords)
-    sampled = grid_sample_3d(features_vol, coords)  # (B, N, C)
+    if channels_last:
+        sampled = grid_sample_3d_cl(features_vol, coords)  # (B, N, C)
+    else:
+        sampled = grid_sample_3d(features_vol, coords)  # (B, N, C)
     if concat_xyz_pts:
         sampled = jnp.concatenate([sampled, coords.astype(sampled.dtype)], axis=-1)
     h = jax.nn.leaky_relu(_linear(params["fc1"], sampled), negative_slope=0.01)

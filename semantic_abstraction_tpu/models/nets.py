@@ -155,6 +155,11 @@ def semabs3d_feature_vol(
     xyz repeat, optional pts-feature MLP on cat(xyz, feats), voxel
     max/mean scatter, optional TSDF channel concat, 3D ResUNet.
     ``valid_mask`` (B, N) drops padded points from the scatter.
+
+    LAYOUT: the returned volume is CHANNEL-LAST, (B*P, gx, gy, gz, C) —
+    the scatter emits that form for free and the implicit decoder's
+    neighborhood pack wants it; NCDHW round-trips cost two ~270 MB
+    relayouts per step at the full-size config.
     """
     b, p, n, f = input_feature_pts.shape
     xyz = jnp.broadcast_to(input_xyz_pts[:, None], (b, p, n, 3)).reshape(b * p, n, 3)
@@ -166,15 +171,16 @@ def semabs3d_feature_vol(
     if valid_mask is not None:
         valid_mask = jnp.broadcast_to(valid_mask[:, None], (b, p, n)).reshape(b * p, n)
     vol = cfg.grid.scatter_points(
-        xyz, feats, reduce_method=cfg.reduce_method, valid_mask=valid_mask
+        xyz, feats, reduce_method=cfg.reduce_method, valid_mask=valid_mask,
+        channels_last=True,
     )
     if "tsdf" in cfg.network_inputs:
         tsdf = jnp.broadcast_to(
             tsdf_vol[:, None], (b, p) + tsdf_vol.shape[1:]
         ).reshape(b * p, *tsdf_vol.shape[1:])
         if tsdf.ndim == 4:
-            tsdf = tsdf[:, None]
-        vol = jnp.concatenate([tsdf.astype(vol.dtype), vol], axis=1)
+            tsdf = tsdf[..., None]
+        vol = jnp.concatenate([tsdf.astype(vol.dtype), vol], axis=-1)
     chunk = cfg.unet_batch_chunk
     if chunk and vol.shape[0] > chunk and vol.shape[0] % chunk == 0:
         vols = vol.reshape(vol.shape[0] // chunk, chunk, *vol.shape[1:])
@@ -183,13 +189,14 @@ def semabs3d_feature_vol(
                 params["unet"], v, cfg.unet_num_groups,
                 compute_dtype=compute_dtype,
                 remat_policy=cfg.unet_remat_policy,
+                channels_last=True,
             ),
             vols,
         )
         return out.reshape(vol.shape[0], *out.shape[2:])
     return residual_unet3d(
         params["unet"], vol, cfg.unet_num_groups, compute_dtype=compute_dtype,
-        remat_policy=cfg.unet_remat_policy,
+        remat_policy=cfg.unet_remat_policy, channels_last=True,
     )
 
 
@@ -225,6 +232,7 @@ def semabs3d_forward(
         cfg.grid,
         output_xyz_pts.reshape(b * q, m, 3),
         cfg.decoder_concat_xyz_pts,
+        channels_last=True,
     ).reshape(b, q, m, cfg.output_dim)
     if cfg.output_dim == 1:
         out = out[..., 0]
@@ -355,10 +363,10 @@ def semabs_vool_forward(
             params["completion"], cfg.completion, input_xyz_pts, ref,
             tsdf_vol, valid_mask, compute_dtype,
         )
-        feature_vol = jnp.concatenate([target_vol, reference_vol], axis=1)
+        feature_vol = jnp.concatenate([target_vol, reference_vol], axis=-1)
         return implicit_decoder(
             params["spatial_sampler"], feature_vol, cfg.completion.grid,
-            out_pts, cfg.decoder_concat_xyz_pts,
+            out_pts, cfg.decoder_concat_xyz_pts, channels_last=True,
         )
 
     dchunk = cfg.desc_chunk
@@ -498,6 +506,7 @@ def clip_spatial_vool_forward(
         cfg.completion.grid,
         output_xyz_pts.reshape(b * nd, m, 3),
         cfg.decoder_concat_xyz_pts,
+        channels_last=True,
     )
     return out.reshape(b, nd, m)
 

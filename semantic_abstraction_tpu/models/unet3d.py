@@ -150,17 +150,36 @@ def _s2d_kernel_maps(k: int = 3, block: int = 2):
     return idx.reshape(-1), valid.reshape(-1)
 
 
+@functools.lru_cache(maxsize=2)
+def _s2d_selector() -> np.ndarray:
+    """(8, 8, 27, 27) 0/1 tensor: Sel[p, q, K, t] = 1 iff original tap
+    t = (dz, dy, dx) lands on blocked tap K at output offset p = (oxz,
+    oxy, oxx) / input offset q = (oiz, oiy, oix) — per-dim rule
+    dz = 2K + oi - ox - 1 (see _s2d_kernel_maps)."""
+    sel1 = np.zeros((2, 2, 3, 3), np.float32)  # (ox, oi, K, d)
+    for K in range(3):
+        for oi in range(2):
+            for ox in range(2):
+                d = 2 * K + oi - ox - 1
+                if 0 <= d < 3:
+                    sel1[ox, oi, K, d] = 1.0
+    sel = np.einsum(
+        "aqkd,brle,csmf->abcqrsklmdef", sel1, sel1, sel1
+    )  # (oxz,oxy,oxx, oiz,oiy,oix, Kz,Ky,Kx, dz,dy,dx)
+    return np.ascontiguousarray(sel.reshape(8, 8, 27, 27))
+
+
 def _blocked_weights(w: jax.Array) -> jax.Array:
-    """(O, I, 3, 3, 3) kernel -> (8O, 8I, 3, 3, 3) space-to-depth kernel."""
+    """(O, I, 3, 3, 3) kernel -> (8O, 8I, 3, 3, 3) space-to-depth kernel.
+
+    Computed as ONE einsum against a constant 0/1 selector (each output
+    element selects exactly one original tap, so the contraction is exact
+    in any dtype). The earlier gather+mask+11-D-transpose formulation
+    cost ~37 ms/train-step in XLA layout copies (T(2,128)-tiled 11-D
+    transposes of the 3.5 MB weight tensor, fwd + d(w) each)."""
     o, i = w.shape[:2]
-    idx, valid = _s2d_kernel_maps()
-    wg = w[:, :, idx[:, None, None], idx[None, :, None], idx[None, None, :]]
-    mask = (valid[:, None, None] & valid[None, :, None] & valid[None, None, :])
-    wg = wg * jnp.asarray(mask, w.dtype)
-    # (o, i, 12, 12, 12) -> (o, i, Kz,oiz,oxz, Ky,oiy,oxy, Kx,oix,oxx)
-    wg = wg.reshape(o, i, 3, 2, 2, 3, 2, 2, 3, 2, 2)
-    # -> (oxz,oxy,oxx,o, oiz,oiy,oix,i, Kz,Ky,Kx)
-    wg = wg.transpose(4, 7, 10, 0, 3, 6, 9, 1, 2, 5, 8)
+    sel = jnp.asarray(_s2d_selector(), w.dtype)
+    wg = jnp.einsum("oit,pqKt->poqiK", w.reshape(o, i, 27), sel)
     return wg.reshape(8 * o, 8 * i, 3, 3, 3)
 
 
@@ -370,8 +389,14 @@ def _level_is_blocked(i: int, blocked_levels: int, channels: int,
 def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
                     compute_dtype=None, remat: bool = True,
                     blocked_levels: int = 2,
-                    remat_policy: str = "dots") -> jax.Array:
-    """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W).
+                    remat_policy: str = "dots",
+                    channels_last: bool = False) -> jax.Array:
+    """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W); with
+    ``channels_last``, (B, D, H, W, C_in) -> (B, D, H, W, C_out) — the
+    entry transpose fuses with the level-0 space-to-depth relayout, and
+    the final 1x1x1 conv emits channel-minor directly, which is what the
+    implicit decoder's neighborhood pack wants (saves a 268 MB relayout
+    per decoder call at the train-step shapes).
 
     With ``remat`` each residual block is wrapped in ``jax.checkpoint``:
     only block boundaries stay live for the backward pass and the block
@@ -385,6 +410,8 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    if channels_last:
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))
 
     if remat and remat_policy != "save_all":
         # "dots" (dots_saveable) keeps conv/matmul outputs and recomputes
@@ -454,7 +481,15 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
             x = conv_transpose3d(x, dec["up_w"], dec["up_b"])
             x = x + skip  # sum joining (unet3d.py:392-396)
             x = block(dec, x, num_groups)
-    return conv3d(x, params["final_w"], params["final_b"], padding=0)
+    # 1x1x1 final conv as a channel matmul: the conv formulation made XLA
+    # relayout the (O, C, 1, 1, 1) weight through a pathological
+    # T(1,128)-tiled copy (~10 ms/step)
+    fw = params["final_w"].astype(x.dtype)[:, :, 0, 0, 0]
+    if channels_last:
+        out = jnp.einsum("bcdhw,oc->bdhwo", x, fw)
+        return out + params["final_b"].astype(x.dtype)
+    out = jnp.einsum("bcdhw,oc->bodhw", x, fw)
+    return out + params["final_b"].astype(x.dtype).reshape(1, -1, 1, 1, 1)
 
 
 def _init_single_conv(key, c_in, c_out, dtype=jnp.float32):

@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _grid_sample_prep(vol_shape, coords):
+def _grid_sample_prep(dhw, coords):
     """Shared index/fraction math for the trilinear sampler and its VJP."""
-    b, c, d, h, w = vol_shape
+    d, h, w = dhw
     sizes = jnp.asarray([w, h, d], dtype=coords.dtype)
     idx = (coords + 1.0) * 0.5 * (sizes - 1)
     idx = jnp.clip(idx, 0.0, sizes - 1)
@@ -39,18 +39,19 @@ def _grid_sample_prep(vol_shape, coords):
             fx, fy, fz)
 
 
-def _row_pack(vol_row: jax.Array) -> jax.Array:
-    """(C, D, H, W) -> (D*H*W, 8, C) packed 2x2x2 neighborhoods.
+def _row_pack(vol_row_cl: jax.Array) -> jax.Array:
+    """(D, H, W, C) channel-last -> (D*H*W, 8, C) packed 2x2x2 neighborhoods.
 
     pack[lin(z,y,x), (dz,dy,dx)] = vol[z+dz, y+dy, x+dx] with zero padding
     past the far faces. A single wide gather of a packed row replaces 8
     separate corner gathers (TPU gathers are row-count bound); the zero
     rows are only reachable with zero lerp weight (fx/fy/fz = 0 at the
-    clipped border), so clamping semantics are preserved.
+    clipped border), so clamping semantics are preserved. Taking the
+    volume channel-last makes the pack a pure pad+stack (the NCDHW form
+    cost a 268 MB relayout per decoder call at the train-step shapes).
     """
-    c, d, h, w = vol_row.shape
-    v = jnp.transpose(vol_row, (1, 2, 3, 0))
-    vp = jnp.pad(v, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    d, h, w, c = vol_row_cl.shape
+    vp = jnp.pad(vol_row_cl, ((0, 1), (0, 1), (0, 1), (0, 0)))
     blocks = [
         vp[dz : dz + d, dy : dy + h, dx : dx + w]
         for dz in range(2) for dy in range(2) for dx in range(2)
@@ -69,13 +70,17 @@ def _lerp_weights(fx, fy, fz):
 
 
 @jax.custom_vjp
-def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
-    """Sample (B, C, D, H, W) volume at (B, N, 3) normalized coords in [-1, 1].
+def grid_sample_3d_cl(vol: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample a CHANNEL-LAST (B, D, H, W, C) volume at (B, N, 3) normalized
+    coords in [-1, 1]; returns (B, N, C).
 
-    Matches ``torch.nn.functional.grid_sample(mode="bilinear",
-    padding_mode="border", align_corners=True)`` for 5-D inputs:
-    coords[..., 0] indexes W (the last axis), coords[..., 1] H, coords[..., 2]
-    D. Returns (B, N, C).
+    Semantics are identical to :func:`grid_sample_3d` (torch
+    ``grid_sample(mode="bilinear", padding_mode="border",
+    align_corners=True)``, coords[..., 0] indexing W); the channel-last
+    form is the internal hot path — both the 2x2x2 neighborhood pack in
+    the forward and the d(vol) cotangent in the backward are naturally
+    channel-minor, so NCDHW callers pay two 268 MB relayouts per call
+    that this entry point avoids.
 
     TPU design: per batch row, the 2x2x2 neighborhoods are packed once
     (dense shifts) and each query does ONE wide gather of 8C values —
@@ -85,12 +90,12 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
 
     NOTE (parity quirk): the reference decoder passes (x, y, z) world-derived
     coordinates straight into grid_sample (net.py:229-239), so world-x indexes
-    the volume's LAST axis while the scatter laid the volume out as
+    the volume's LAST spatial axis while the scatter laid the volume out as
     (gx, gy, gz). Trained checkpoints bake this in; callers here must pass
     coords in the same (x, y, z) order to reproduce it.
     """
-    b, c, d, h, w = vol.shape
-    x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+    b, d, h, w, c = vol.shape
+    x0, y0, z0, fx, fy, fz = _grid_sample_prep((d, h, w), coords)
     lin = (z0 * h + y0) * w + x0
     w8 = _lerp_weights(fx, fy, fz)  # (B, N, 8)
 
@@ -104,24 +109,24 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     return jax.lax.map(row, (vol, lin, w8))
 
 
-def _grid_sample_fwd(vol, coords):
-    return grid_sample_3d(vol, coords), (vol, coords)
+def _grid_sample_cl_fwd(vol, coords):
+    return grid_sample_3d_cl(vol, coords), (vol, coords)
 
 
-def _grid_sample_bwd(res, g):
+def _grid_sample_cl_bwd(res, g):
     """Custom backward. The naive VJP scatter-adds 8 corner rows per query
     (XLA TPU scatter ran ~7M rows/s: 1.6 s for the reference's 1.6M-point
     decoder pass). Here all 8 corners pack into ONE base-corner scatter of
-    8C channels into a (D+1, H+1, W+1) staging grid followed by 8 dense
-    shifted adds (8x fewer scatter rows), and the corner values needed for
-    d(coords) come from one packed gather. Border clamping is reproduced
+    8C channels into a (D+1, H+1, W+1) staging grid, and the corner
+    reduction runs as a 2x2x2 convolution over the packed corner channels
+    (see the kernel construction below). Border clamping is reproduced
     by folding the overflow planes onto the last valid planes (their
     weights are zero anyway for clipped coords).
     """
     vol, coords = res
-    b, c, d, h, w = vol.shape
+    b, d, h, w, c = vol.shape
     n = coords.shape[1]
-    x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+    x0, y0, z0, fx, fy, fz = _grid_sample_prep((d, h, w), coords)
     gf = g.astype(jnp.float32)
     w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
     data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, 8 * c)
@@ -196,7 +201,7 @@ def _grid_sample_bwd(res, g):
     dvol, dxyz = jax.lax.map(
         row, (vol, data, lin0, lin, gf, fxe, fye, fze)
     )
-    dvol = jnp.transpose(dvol, (0, 4, 1, 2, 3)).astype(vol.dtype)
+    dvol = dvol.astype(vol.dtype)  # (B, D, H, W, C) — already channel-last
     # chain through idx = clip((coords+1)/2*(size-1), 0, size-1): the clip
     # zeroes the gradient outside the open interval
     sizes = jnp.asarray([w, h, d], dtype=jnp.float32)
@@ -207,8 +212,20 @@ def _grid_sample_bwd(res, g):
     return dvol, dcoords.astype(coords.dtype)
 
 
+grid_sample_3d_cl.defvjp(_grid_sample_cl_fwd, _grid_sample_cl_bwd)
 
-grid_sample_3d.defvjp(_grid_sample_fwd, _grid_sample_bwd)
+
+def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample (B, C, D, H, W) volume at (B, N, 3) normalized coords in [-1, 1].
+
+    Matches ``torch.nn.functional.grid_sample(mode="bilinear",
+    padding_mode="border", align_corners=True)`` for 5-D inputs:
+    coords[..., 0] indexes W (the last axis), coords[..., 1] H, coords[..., 2]
+    D. Returns (B, N, C). Thin NCDHW wrapper over the channel-last core
+    :func:`grid_sample_3d_cl` (autodiff carries d(vol) back through the
+    transpose); hot paths should call the channel-last form directly.
+    """
+    return grid_sample_3d_cl(jnp.transpose(vol, (0, 2, 3, 4, 1)), coords)
 
 
 def trilinear_sample(vol: jax.Array, coords: jax.Array) -> jax.Array:

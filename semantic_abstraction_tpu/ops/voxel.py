@@ -99,8 +99,11 @@ class VoxelGrid:
         feature_pts: jax.Array,
         reduce_method: str = "max",
         valid_mask: jax.Array | None = None,
+        channels_last: bool = False,
     ) -> jax.Array:
-        """Scatter (B, N, C) point features into a (B, C, gx, gy, gz) volume.
+        """Scatter (B, N, C) point features into a (B, C, gx, gy, gz) volume
+        (or (B, gx, gy, gz, C) with ``channels_last`` — that form is FREE:
+        the segment-reduce output is already bin-major channel-minor).
 
         ``reduce_method`` is "max" or "mean". Voxels that receive no points
         are zero (torch_scatter convention). ``valid_mask`` (B, N) optionally
@@ -182,4 +185,6 @@ class VoxelGrid:
             if valid_mask is not None:
                 out = out[: batch * nv]
         vol = out.reshape(batch, *self.grid_shape, channels)
+        if channels_last:
+            return vol
         return jnp.transpose(vol, (0, 4, 1, 2, 3))

@@ -47,10 +47,13 @@ def test_dense_decode_matches_direct():
     rs = np.random.RandomState(0)
     vol = jnp.asarray(rs.randn(1, 8, 8, 8, 8).astype(np.float32))
     pts = rs.uniform(-1, 1.9, (1000, 3)).astype(np.float32)
+    # _dense_decode takes the channel-LAST feature volume (the layout
+    # semabs3d_feature_vol emits)
     out = _dense_decode(params["decoder"], vol, cfg.grid, pts, True, chunk=256)
     ref = np.asarray(
         implicit_decoder(params["decoder"], vol, cfg.grid,
-                         jnp.asarray(pts)[None], True)[0, :, 0]
+                         jnp.asarray(pts)[None], True,
+                         channels_last=True)[0, :, 0]
     )
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
 

@@ -102,7 +102,7 @@ def test_grid_sample_custom_vjp_matches_autodiff():
 
     def plain_sample(vol, coords):
         b, c, d, h, w = vol.shape
-        x0, y0, z0, fx, fy, fz = _grid_sample_prep(vol.shape, coords)
+        x0, y0, z0, fx, fy, fz = _grid_sample_prep((d, h, w), coords)
         x1 = jnp.minimum(x0 + 1, w - 1)
         y1 = jnp.minimum(y0 + 1, h - 1)
         z1 = jnp.minimum(z0 + 1, d - 1)
