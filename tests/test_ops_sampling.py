@@ -139,3 +139,41 @@ def test_grid_sample_custom_vjp_matches_autodiff():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc2), atol=1e-4,
                                rtol=1e-3)
+
+
+def test_grid_sample_channels_last_matches_ncdhw():
+    """grid_sample_3d_cl(vol_cl) == grid_sample_3d(vol) values AND custom
+    VJP gradients (the channel-last core is the hot path; the NCDHW entry
+    is a transpose wrapper)."""
+    import jax
+
+    from semantic_abstraction_tpu.ops.sampling import (
+        grid_sample_3d,
+        grid_sample_3d_cl,
+    )
+
+    rs = np.random.RandomState(7)
+    vol = jnp.asarray(rs.randn(2, 4, 6, 5, 7).astype(np.float32))
+    vol_cl = jnp.transpose(vol, (0, 2, 3, 4, 1))
+    coords = jnp.asarray(rs.uniform(-1.2, 1.2, (2, 200, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_3d_cl(vol_cl, coords)),
+        np.asarray(grid_sample_3d(vol, coords)),
+        atol=1e-5, rtol=1e-5,
+    )
+    g = jnp.asarray(rs.randn(2, 200, 4).astype(np.float32))
+
+    def loss_cl(v, c):
+        return (grid_sample_3d_cl(v, c) * g).sum()
+
+    def loss_cf(v, c):
+        return (grid_sample_3d(v, c) * g).sum()
+
+    dv_cl, dc_cl = jax.grad(loss_cl, argnums=(0, 1))(vol_cl, coords)
+    dv_cf, dc_cf = jax.grad(loss_cf, argnums=(0, 1))(vol, coords)
+    np.testing.assert_allclose(
+        np.asarray(dv_cl), np.asarray(dv_cf).transpose(0, 2, 3, 4, 1),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(dc_cl), np.asarray(dc_cf),
+                               atol=1e-4, rtol=1e-4)

@@ -107,3 +107,22 @@ def test_scatter_valid_mask_drops_points():
     vol = np.asarray(grid.scatter_points(pts, feats, "max", valid_mask=mask))
     assert vol[0, 0, 0, 0, 0] == 1.0
     assert vol[0, 0, 1, 1, 1] == 0.0
+
+
+def test_scatter_channels_last_matches_ncdhw():
+    """channels_last=True output == transpose of the NCDHW output, for
+    packed (C=16) and unpacked (C=3) channel counts, with and without a
+    validity mask."""
+    grid = VoxelGrid(lower=(-1, -1, -0.1), upper=(1, 1, 1.9),
+                     grid_shape=(16, 16, 16))
+    rs = np.random.RandomState(3)
+    pts = jnp.asarray(rs.uniform(-1.2, 2.0, (2, 400, 3)).astype(np.float32))
+    for c in (16, 3):
+        feats = jnp.asarray(rs.randn(2, 400, c).astype(np.float32))
+        for mask in (None, jnp.asarray(rs.rand(2, 400) > 0.3)):
+            cl = np.asarray(grid.scatter_points(
+                pts, feats, "max", valid_mask=mask, channels_last=True))
+            cf = np.asarray(grid.scatter_points(
+                pts, feats, "max", valid_mask=mask))
+            np.testing.assert_allclose(cl, cf.transpose(0, 2, 3, 4, 1),
+                                       atol=1e-6)
