@@ -53,10 +53,14 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     scale+shift that XLA fuses into one elementwise pass.
     """
     b, c = x.shape[:2]
-    spatial_axes = tuple(range(2, x.ndim))
-    xf = x.astype(jnp.float32)
-    s1 = xf.mean(axis=spatial_axes)  # (B, C)
-    s2 = (xf * xf).mean(axis=spatial_axes)  # (B, C)
+    # moments over ONE flat spatial axis: with separate (D, H, W) axes the
+    # minor dim is W (64 at the deep levels) and every vector op runs on
+    # half-empty 128-lane tiles; the merged axis is a free row-major
+    # reshape and keeps the reduce full-lane
+    x_flat = x.reshape(b, c, -1)
+    xf = x_flat.astype(jnp.float32)
+    s1 = xf.mean(axis=2)  # (B, C)
+    s2 = (xf * xf).mean(axis=2)  # (B, C)
     pool = np.zeros((c, num_groups), np.float32)
     pool[np.arange(c), gid] = 1.0
     pool /= pool.sum(axis=0, keepdims=True)
@@ -67,8 +71,11 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     gid_j = jnp.asarray(gid)
     sc = inv[:, gid_j] * scale_c.astype(jnp.float32)[None]  # (B, C)
     bi = bias_c.astype(jnp.float32)[None] - gm[:, gid_j] * sc
+    # the affine stays on the ORIGINAL 5-D shape (fuses into the following
+    # conv's input); only the moments use the flat view — a flat affine
+    # measured slightly slower
     shape = (b, c) + (1,) * (x.ndim - 2)
-    out = xf * sc.reshape(shape) + bi.reshape(shape)
+    out = x.astype(jnp.float32) * sc.reshape(shape) + bi.reshape(shape)
     return out.astype(x.dtype)
 
 
