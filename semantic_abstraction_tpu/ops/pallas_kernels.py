@@ -92,3 +92,67 @@ def cam_accumulate_reference(grads, attn, r_mat, positive_attn_only=True):
     return r_mat + jnp.einsum(
         "lbij,lbjk->lbik", cam, r_mat, preferred_element_type=jnp.float32
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm moment kernel: one pass over the activation producing both
+# per-channel moments, streaming the flat (B, C, S) view once and
+# accumulating (B, C) sums in VMEM.
+#
+# MEASURED VERDICT (v5e, x10-amortized): identical to XLA's fused
+# two-output reduce — 3.30 vs 3.32 ms (81 GB/s) at (4, 128, 64^3) and a
+# wash at (4, 256, 32^3) (both ~20 GB/s, overhead-bound). The ~13 GB/s
+# attributed to GN in train-step traces comes from remat/loop-boundary
+# copies AROUND the reduce, not the reduce itself, so the kernel is kept
+# validated but group_norm stays on the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _moments_kernel(x_ref, s1_ref, s2_ref):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    xb = x_ref[0].astype(jnp.float32)  # (C, CHUNK)
+    p1 = xb.sum(axis=1)
+    p2 = (xb * xb).sum(axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[bi] = p1
+        s2_ref[bi] = p2
+
+    @pl.when(i > 0)
+    def _():
+        s1_ref[bi] = s1_ref[bi] + p1
+        s2_ref[bi] = s2_ref[bi] + p2
+
+
+def channel_moments(x: jax.Array, interpret: bool = False):
+    """(B, C, S) -> (s1, s2) = (sum(x), sum(x*x)) over S, both (B, C) f32.
+
+    Returns None if the shape doesn't fit the kernel's blocking (caller
+    falls back to plain XLA reductions).
+    """
+    b, c, s = x.shape
+    chunk = 2048
+    while chunk > 128 and s % chunk:
+        chunk //= 2
+    if s % chunk or c % 8:
+        return None
+    grid = (b, s // chunk)
+    s1, s2 = pl.pallas_call(
+        _moments_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, c, chunk), lambda bi, si: (bi, 0, si))],
+        out_specs=(
+            # whole-array blocks revisited by every program (the TPU grid
+            # runs sequentially, so the accumulator persists in VMEM)
+            pl.BlockSpec((b, c), lambda bi, si: (0, 0)),
+            pl.BlockSpec((b, c), lambda bi, si: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x)
+    return s1, s2

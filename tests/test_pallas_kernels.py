@@ -41,3 +41,18 @@ def test_cam_accumulate_iterated():
         rr = cam_accumulate_reference(g, a, rr)
     np.testing.assert_allclose(np.asarray(rk), np.asarray(rr), atol=1e-3,
                                rtol=1e-3)
+
+
+def test_channel_moments_matches_numpy():
+    from semantic_abstraction_tpu.ops.pallas_kernels import channel_moments
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(3, 16, 2048).astype(np.float32))
+    s1, s2 = channel_moments(x, interpret=True)
+    # chunked f32 accumulation vs numpy's pairwise summation: ~1e-4 rel
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(x).sum(-1),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2), (np.asarray(x) ** 2).sum(-1),
+                               rtol=1e-3, atol=1e-3)
+    # shape that doesn't fit the blocking -> explicit fallback signal
+    assert channel_moments(jnp.zeros((1, 16, 1000))) is None
