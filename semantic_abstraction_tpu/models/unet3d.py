@@ -385,8 +385,9 @@ def ext_resnet_block(params: dict, x: jax.Array, num_groups: int) -> jax.Array:
 def _level_is_blocked(i: int, blocked_levels: int, channels: int,
                       spatial) -> bool:
     return (
-        # cap 32: blocking the 64-channel level measured slightly SLOWER
-        # (362 vs 342 ms UNet f+b) — plain convs are efficient by C=64
+        # cap 32: blocking the 64-channel level measured neutral at best
+        # (0.690 vs 0.684 s/step with the selector-einsum weights) — plain
+        # convs are MXU-efficient by C=64
         i < blocked_levels
         and channels <= 32
         and all(s % 2 == 0 and s >= 8 for s in spatial)
