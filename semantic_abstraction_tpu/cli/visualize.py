@@ -144,22 +144,38 @@ def _load_state_params(args, cfg_builder):
 
 
 def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18):
-    """Implicit-decoder sweep over a dense point grid, lax.map-chunked."""
+    """Implicit-decoder sweep over a dense point grid, lax.map-chunked.
+
+    The channel-last feature volume is neighborhood-PACKED once and every
+    chunk samples the shared pack (the per-chunk pack rebuild was ~50
+    passes over a 0.5 GB temp at the 240^3 sweep)."""
     import jax
     import jax.numpy as jnp
 
-    from ..models.decoder import implicit_decoder
+    from ..models.decoder import _linear
+    from ..ops.sampling import grid_sample_packed, pack_volume
 
     n = len(pts)
     pad = (-n) % chunk
     pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
     chunks = jnp.asarray(pts_p.reshape(-1, chunk, 3))
+    dhw = vol.shape[1:4]
 
     @jax.jit
     def run(vol_, chunks_):
+        pack = pack_volume(vol_[0])
+
         def body(c):
-            return implicit_decoder(decoder_params, vol_, grid, c[None],
-                                    concat_xyz, channels_last=True)[0, :, 0]
+            idx_f = grid.points_to_idxs(c, cast_to_int=False)
+            shape = jnp.asarray(grid.grid_shape, dtype=idx_f.dtype)
+            coords = 2.0 * (idx_f / shape) - 1.0
+            sampled = grid_sample_packed(pack, dhw, coords)
+            if concat_xyz:
+                sampled = jnp.concatenate(
+                    [sampled, coords.astype(sampled.dtype)], axis=-1)
+            h = jax.nn.leaky_relu(
+                _linear(decoder_params["fc1"], sampled), negative_slope=0.01)
+            return _linear(decoder_params["fc2"], h)[:, 0]
 
         return jax.lax.map(body, chunks_)
 
