@@ -478,7 +478,13 @@ class ClipSaliency:
             if extra:
                 dzw = self.zeroshot_weights(extra, list(prompts))
                 dmaps = self._saliency_convolve(img, dzw, config, key)
-                maps = maps - dmaps.mean(axis=0)
+                # subtract in f32 (reference casts canvases with .float()
+                # before the distractor mean, CLIP/clip/__init__.py);
+                # differencing nearly-equal f16 maps loses precision
+                maps = (
+                    maps.astype(jnp.float32)
+                    - dmaps.astype(jnp.float32).mean(axis=0)
+                ).astype(jnp.float16)
         return maps, label_feats
 
     def _scale_fn(self, hw: Tuple[int, int], plan: ScalePlan,
@@ -604,7 +610,11 @@ class ClipSaliency:
         # one combine dispatch; float16 output matches the reference's
         # half-precision canvases (CLIP/clip/__init__.py:146-151) and
         # halves the device->host readback
-        sig_c = (len(canvases), canvases[0].shape)
+        # cache key must carry the divisor (len(plans)): a crop config whose
+        # largest tile exceeds the image yields fewer canvases than plans,
+        # and a same-shaped call with a different config must not reuse a
+        # lambda with the wrong normalizer
+        sig_c = (len(canvases), len(plans), canvases[0].shape)
         if sig_c not in self._combine_jit:
             n_plans = len(plans)
             self._combine_jit[sig_c] = jax.jit(

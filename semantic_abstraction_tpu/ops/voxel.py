@@ -155,9 +155,16 @@ class VoxelGrid:
                 )
             else:
                 sums = jax.ops.segment_sum(wide, rows, num_segments=num_rows)
-                ones = jnp.where(onehot[:, :, None], 1.0, 0.0).astype(
-                    feats.dtype
-                ).reshape(-1, 128)
+                # broadcast the bin one-hot over the channel axis so each
+                # point contributes a count of 1 to every channel column of
+                # its bin group ((P, pack, C) -> (P, 128))
+                ones = (
+                    jnp.broadcast_to(
+                        onehot[:, :, None], (onehot.shape[0], pack, channels)
+                    )
+                    .astype(feats.dtype)
+                    .reshape(-1, 128)
+                )
                 counts = jax.ops.segment_sum(ones, rows, num_segments=num_rows)
                 out = (
                     sums.reshape(-1, channels)

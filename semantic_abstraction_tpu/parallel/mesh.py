@@ -25,10 +25,26 @@ def local_device_count() -> int:
     return len(jax.devices())
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = "data",
+    backend: Optional[str] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    ``backend`` selects the platform explicitly (e.g. ``"cpu"`` for the
+    virtual host mesh used in tests and the driver's multi-chip dry run)
+    WITHOUT initializing the default backend — ``jax.devices("cpu")`` only
+    touches the CPU client, so a broken/absent TPU runtime cannot fail a
+    CPU-mesh construction.
+    """
+    devices = jax.devices(backend) if backend is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                f"available on backend={backend or 'default'}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

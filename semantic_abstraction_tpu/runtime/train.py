@@ -231,14 +231,13 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -261,17 +260,16 @@ def make_eval_step(forward_loss: Callable, cfg, mesh=None, axis_name="data",
 
     if mesh is None:
         return jax.jit(step_fn)
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     out_specs = {
         "loss": P(), "accuracy": P(), "logits": P(axis_name),
         "ignore": P(axis_name),
     }
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -49,16 +49,21 @@ def test_idxs_to_points_corners():
     np.testing.assert_allclose(pts[1], [1.0, 1.0, 1.9], atol=1e-6)
 
 
-def _np_scatter(pts, feats, lower, upper, grid_shape, reduce):
+def _np_scatter(pts, feats, lower, upper, grid_shape, reduce, valid_mask=None):
     """numpy oracle with torch_scatter conventions (empty bins -> 0)."""
     b, n, c = feats.shape
     gx, gy, gz = grid_shape
     out = np.zeros((b, gx, gy, gz, c), dtype=np.float64)
     for bi in range(b):
         idx = np_points_to_idxs(pts[bi], lower, upper, grid_shape)
+        keep = (
+            np.ones(n, bool) if valid_mask is None else np.asarray(valid_mask[bi])
+        )
         if reduce == "max":
             acc = {}
             for i in range(n):
+                if not keep[i]:
+                    continue
                 key = tuple(idx[i])
                 acc[key] = (
                     np.maximum(acc[key], feats[bi, i]) if key in acc else feats[bi, i].copy()
@@ -68,6 +73,8 @@ def _np_scatter(pts, feats, lower, upper, grid_shape, reduce):
         else:
             cnt = np.zeros((gx, gy, gz), dtype=np.int64)
             for i in range(n):
+                if not keep[i]:
+                    continue
                 key = tuple(idx[i])
                 out[bi][key] += feats[bi, i]
                 cnt[key] += 1
@@ -87,6 +94,35 @@ def test_scatter_max_and_mean_match_oracle():
         )
         expected = _np_scatter(pts, feats, *np.asarray(SCENE_BOUNDS), (4, 4, 4), reduce)
         np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_scatter_packed_lanes_match_oracle():
+    """Ground-truth coverage for the 128-lane PACKED fast path.
+
+    Grid 8x8x8 (nv=512) with C in {1, 8, 16}: pack = 128/C divides nv, so
+    the packed branch is taken for every case, for both reductions, with
+    and without a validity mask (this is the path whose C>1 mean variant
+    regressed unnoticed when only C=3 — unpacked — was oracle-tested).
+    """
+    rng = np.random.default_rng(7)
+    grid = VoxelGrid.from_bounds(SCENE_BOUNDS, (8, 8, 8))
+    pts = rng.uniform(-1.2, 2.0, size=(2, 500, 3)).astype(np.float32)
+    for c in (1, 8, 16):
+        feats = rng.normal(size=(2, 500, c)).astype(np.float32)
+        for reduce in ("max", "mean"):
+            for mask in (None, rng.random((2, 500)) > 0.3):
+                got = np.asarray(
+                    grid.scatter_points(
+                        jnp.asarray(pts), jnp.asarray(feats), reduce,
+                        valid_mask=None if mask is None else jnp.asarray(mask),
+                    )
+                )
+                expected = _np_scatter(
+                    pts, feats, *np.asarray(SCENE_BOUNDS), (8, 8, 8), reduce,
+                    valid_mask=mask,
+                )
+                np.testing.assert_allclose(got, expected, atol=1e-5,
+                                           err_msg=f"C={c} {reduce} mask={mask is not None}")
 
 
 def test_scatter_negative_features_max_not_clamped():
