@@ -16,7 +16,9 @@ def config_parser() -> argparse.ArgumentParser:
     p.add_argument("--file_path", type=str, required=True)
     p.add_argument("--voxel_shape", type=int, nargs=3, default=[128, 128, 128])
     p.add_argument("--load", type=str)
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="PER-DEVICE batch (the reference's batch-1-per-GPU "
+                        "regime); global batch = batch_size x mesh devices")
     p.add_argument("--num_warmup_steps", type=int, default=1024)
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--eval_freq", type=int, default=5)

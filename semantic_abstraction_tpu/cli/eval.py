@@ -28,6 +28,11 @@ def main(argv=None):
     )
     parser.add_argument("--clip-ckpt", type=str, default=None)
     parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument(
+        "--voxel_shapes", type=int, nargs="+", default=None,
+        help="cubic voxelization sizes for detailed stats (default 32 64; "
+             "NYU tables need 60, reference summarize.py:216)",
+    )
     args = parser.parse_args(argv)
     common.setup_logging()
 
@@ -45,18 +50,24 @@ def main(argv=None):
 
     import numpy as np
 
-    from ..parallel import make_mesh
+    from ..parallel import make_mesh, maybe_initialize_distributed
     from ..runtime.experiment import (
         eval_cutoffs_for,
         run_eval_split,
         setup_experiment,
     )
     from ..runtime.train import make_eval_step
-    from ..data import DataLoader
+    from ..data import DataLoader, ShardedSampler
 
+    import jax
     import jax.numpy as jnp
     import pandas as pd
 
+    maybe_initialize_distributed()
+    # sharded evaluation (reference eval.py:57-59 DistributedSampler): one
+    # scene per device on the data mesh; wrap-padded duplicate samples are
+    # flagged and NaN'd so sharded stats == single-device stats
+    mesh = make_mesh(args.num_devices) if args.num_devices != 1 else None
     setup = setup_experiment(args, task=args.task, approach=args.approach,
                              return_vis=True)
     state = setup["state"]
@@ -64,7 +75,7 @@ def main(argv=None):
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
     eval_step = make_eval_step(setup["forward_loss"], setup["cfg"],
-                               compute_dtype=compute_dtype)
+                               mesh=mesh, compute_dtype=compute_dtype)
     text_encoder = None
     if args.task == "vool" and args.approach == "semantic_aware":
         from .train_vool import make_text_encoder
@@ -73,24 +84,41 @@ def main(argv=None):
 
     bounds = setup["datasets"][next(iter(setup["datasets"]))].cfg.scene_bounds
     cutoffs = tuple(float(c) for c in np.arange(-2.5, 0, 0.1))
+    voxel_shapes = tuple(
+        (s, s, s) for s in (args.voxel_shapes or (32, 64))
+    )
+    n_batch = 1 if mesh is None else int(mesh.devices.size)
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     all_stats = []
-    for split, ds in setup["datasets"].items():
-        if split == "train":
-            continue
-        loader = DataLoader(ds, batch_size=1, num_workers=args.num_workers,
-                            shuffle=False, seed=args.seed)
-        means, detailed = run_eval_split(
-            state, eval_step, loader, args.task, bounds, cutoffs,
-            voxel_shapes=((32, 32, 32), (64, 64, 64)),
-            text_encoder=text_encoder, max_batches=args.max_batches,
-        )
-        detailed["split"] = split
-        detailed["epoch"] = setup["start_epoch"]
-        all_stats.append(detailed)
-        logging.info("%s: %s", split, means)
-        stats_path = os.path.splitext(args.load)[0] + "_eval_stats.pkl"
-        pd.concat(all_stats, ignore_index=True).to_pickle(stats_path)
-        logging.info("dumped stats to %s", stats_path)
+    import contextlib
+
+    with (mesh if mesh is not None else contextlib.nullcontext()):
+        for split, ds in setup["datasets"].items():
+            if split == "train":
+                continue
+            sampler = ShardedSampler(
+                len(ds), num_shards=n_proc, shard_id=proc_id,
+                shuffle=False, seed=args.seed,
+            )
+            loader = DataLoader(
+                ds, batch_size=n_batch // n_proc,
+                num_workers=args.num_workers, sampler=sampler,
+                pad_to_full_batches=mesh is not None,
+                pad_static_shapes=mesh is not None,
+            )
+            means, detailed = run_eval_split(
+                state, eval_step, loader, args.task, bounds, cutoffs,
+                voxel_shapes=voxel_shapes,
+                text_encoder=text_encoder, mesh=mesh,
+                max_batches=args.max_batches,
+            )
+            detailed["split"] = split
+            detailed["epoch"] = setup["start_epoch"]
+            all_stats.append(detailed)
+            logging.info("%s: %s", split, means)
+            stats_path = os.path.splitext(args.load)[0] + "_eval_stats.pkl"
+            pd.concat(all_stats, ignore_index=True).to_pickle(stats_path)
+            logging.info("dumped stats to %s", stats_path)
 
 
 if __name__ == "__main__":

@@ -22,9 +22,10 @@ def main(argv=None):
     common.setup_logging()
     common.save_args(args.log, args)
 
-    from ..parallel import make_mesh
+    from ..parallel import make_mesh, maybe_initialize_distributed
     from ..runtime.experiment import setup_experiment, train
 
+    maybe_initialize_distributed()  # multi-host (reference utils.py:131-137)
     mesh = make_mesh(args.num_devices) if args.num_devices != 1 else None
     setup = setup_experiment(args, task="ovssc", approach=args.approach)
     if mesh is not None:

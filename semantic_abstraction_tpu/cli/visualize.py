@@ -71,9 +71,14 @@ def export_obj(vol: np.ndarray, filename: str, level: float = 0.5):
     return True
 
 
-def prep_data(args, scene_bounds):
+def prep_data(args, scene_bounds, approach="semantic_abstraction"):
     """Scene pickle -> relevancies + in-bounds point features
-    (reference visualize.py:61-154)."""
+    (reference visualize.py:61-154).
+
+    ``approach`` drives what gets extracted: clip_spatial adds relevancies
+    of the full description sentences ("{target} {relation} a {reference}",
+    reference net.py:639-678); semantic_aware adds raw CLIP text features
+    and the per-point RGB stream instead."""
     import jax
 
     from .generate_relevancy import build_saliency
@@ -94,6 +99,11 @@ def prep_data(args, scene_bounds):
     relevancy_keys = sorted(
         set(ovssc_obj_classes) | set(target_classes) | set(reference_classes)
     )
+    if approach == "clip_spatial":
+        relevancy_keys = sorted(
+            set(relevancy_keys)
+            | {f"{t} {r} a {f_}" for t, r, f_ in descriptions}
+        )
 
     sal = build_saliency(args)
     config = saliency_configs[args.saliency_config](rgb.shape[0])
@@ -109,12 +119,13 @@ def prep_data(args, scene_bounds):
     in_bounds = filter_pts_bounds_np(xyz, np.asarray(scene_bounds))
     xyz = xyz[in_bounds]
     flat = {k: maps[i].reshape(-1)[in_bounds] for i, k in enumerate(relevancy_keys)}
-    return {
+    out = {
         "rgb": rgb,
         "depth": depth,
         "cam_intr": cam_intr,
         "cam_extr": cam_extr,
         "input_xyz_pts": xyz,
+        "input_rgb_pts": rgb.reshape(-1, 3)[in_bounds],
         "relevancy": flat,
         "ovssc_obj_classes": ovssc_obj_classes,
         "descriptions": descriptions,
@@ -123,15 +134,52 @@ def prep_data(args, scene_bounds):
         "reference_classes": reference_classes,
         "scene_id": Path(args.scene_file).stem,
     }
+    if approach == "semantic_aware":
+        names = sorted(set(ovssc_obj_classes) | set(target_classes)
+                       | set(reference_classes))
+        feats = np.asarray(sal.text_features(names)) if names else np.zeros(
+            (0, 512), np.float32
+        )
+        out["text_features"] = {n: feats[i] for i, n in enumerate(names)}
+    return out
 
 
-def _load_state_params(args, cfg_builder):
+def _restore_net(args, task):
+    """Rebuild the trained net's EXACT config + approach from the
+    checkpoint's args.pkl (reference visualize.py:310-315) and load the
+    params. Without args.pkl falls back to the CLI flags/defaults."""
     import jax
 
+    from . import common
     from ..runtime.checkpoint import load_checkpoint
+    from ..runtime.experiment import APPROACHES, model_cfg_from_args
     from ..runtime.train import init_train_state, make_optimizer
 
-    cfg, init_fn = cfg_builder()
+    approach = args.approach
+    ns = None
+    if args.load:
+        args_pkl = os.path.join(os.path.dirname(args.load), "args.pkl")
+        if os.path.exists(args_pkl):
+            saved = common.load_args(args_pkl)
+            ns = argparse.Namespace(**saved)
+            approach = saved.get("approach", approach)
+            logging.info("restored net config from %s (approach=%s)",
+                         args_pkl, approach)
+    if ns is None:
+        defaults = dict(
+            voxel_shape=args.voxel_shape,
+            scene_bounds=[-1.0, -1.0, -0.1, 1.0, 1.0, 1.9],
+            unet_num_channels=16, unet_f_maps=16, unet_num_groups=8,
+            unet_num_levels=6,
+            network_inputs=(["rgb"] if approach == "semantic_aware"
+                            else ["saliency"]),
+            use_pts_feat_extractor=True, pts_feat_extractor_hidden_dim=128,
+            reduce_method="max", decoder_concat_xyz_pts=True,
+            pointing_method="cosine_sim", pointing_dim=64,
+        )
+        ns = argparse.Namespace(**defaults)
+    cfg = model_cfg_from_args(task, approach, ns)
+    init_fn = APPROACHES[(task, approach)][1]
     params = init_fn(jax.random.PRNGKey(0), cfg)
     if args.load:
         tx = make_optimizer()
@@ -140,15 +188,19 @@ def _load_state_params(args, cfg_builder):
         params = state.params
     else:
         logging.warning("no --load checkpoint: using random weights")
-    return cfg, params
+    return cfg, params, approach
 
 
-def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18):
+def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18,
+                  post=None):
     """Implicit-decoder sweep over a dense point grid, lax.map-chunked.
 
     The channel-last feature volume is neighborhood-PACKED once and every
     chunk samples the shared pack (the per-chunk pack rebuild was ~50
-    passes over a 0.5 GB temp at the 240^3 sweep)."""
+    passes over a 0.5 GB temp at the 240^3 sweep). ``post`` maps each
+    chunk's decoded (chunk, output_dim) features to per-point outputs
+    INSIDE the jit (e.g. a class-feature pointer), so wide feature vectors
+    never materialize for the full grid; default takes channel 0."""
     import jax
     import jax.numpy as jnp
 
@@ -175,11 +227,13 @@ def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18):
                     [sampled, coords.astype(sampled.dtype)], axis=-1)
             h = jax.nn.leaky_relu(
                 _linear(decoder_params["fc1"], sampled), negative_slope=0.01)
-            return _linear(decoder_params["fc2"], h)[:, 0]
+            feats = _linear(decoder_params["fc2"], h)
+            return post(feats) if post is not None else feats[:, 0]
 
         return jax.lax.map(body, chunks_)
 
-    out = np.asarray(run(vol, chunks)).reshape(-1)
+    out = np.asarray(run(vol, chunks))
+    out = out.reshape(-1, *out.shape[2:])
     return out[:n]
 
 
@@ -187,38 +241,63 @@ def cmd_ovssc(args):
     import jax.numpy as jnp
 
     from ..data.transforms import check_pts_in_frustum_np
-    from ..models import SemAbs3DConfig, init_semabs3d, semabs3d_feature_vol
+    from ..models import semabs3d_feature_vol
+    from ..models.decoder import pointing_attention_paired
     from ..ops.fusion import TSDFVolume
 
     scene_bounds = ((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9))
-    batch = prep_data(args, scene_bounds)
+    cfg, params, approach = _restore_net(args, "ovssc")
+    batch = prep_data(args, scene_bounds, approach)
     shape = tuple(args.sampling_shape)
-
-    def build():
-        cfg = SemAbs3DConfig(voxel_shape=tuple(args.voxel_shape))
-        return cfg, init_semabs3d
-
-    cfg, params = _load_state_params(args, build)
     grid_points = get_sample_points(shape, scene_bounds)
     rs = np.random.RandomState(args.seed)
     dump = Path(args.dump_path) / batch["scene_id"]
     dump.mkdir(parents=True, exist_ok=True)
 
     logprobs = []
-    for obj_class in batch["ovssc_obj_classes"]:
+    if approach == "semantic_aware":
+        # one RGB feature volume shared by all classes; the CLIP-dim
+        # decode is pointed at each class text feature INSIDE the sweep
+        ccfg, cparams = cfg.completion, params["completion"]
         idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
         xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
-        feats = jnp.asarray(
-            batch["relevancy"][obj_class][idx].astype(np.float32)
-        )[None, None, :, None]
-        vol = semabs3d_feature_vol(params, cfg, xyz, feats,
+        rgb_feats = jnp.asarray(
+            batch["input_rgb_pts"][idx].astype(np.float32) / 255.0
+        )[None, None]
+        vol = semabs3d_feature_vol(cparams, ccfg, xyz, rgb_feats,
                                    compute_dtype=jnp.bfloat16)
-        out = _dense_decode(
-            params["decoder"], vol, cfg.grid, grid_points,
-            cfg.decoder_concat_xyz_pts,
-        )
-        logprobs.append(out.reshape(shape))
-        logging.info("completed %s", obj_class)
+        for obj_class in batch["ovssc_obj_classes"]:
+            cf = jnp.asarray(batch["text_features"][obj_class])
+
+            def post(feats, cf=cf):
+                return pointing_attention_paired(
+                    params["pointer"], key=cf, query=feats,
+                    method=cfg.pointing_method,
+                    pointing_dim=cfg.clip_hidden_dim,
+                    temperature=cfg.pointing_temperature,
+                )
+
+            out = _dense_decode(
+                cparams["decoder"], vol, ccfg.grid, grid_points,
+                ccfg.decoder_concat_xyz_pts, post=post,
+            )
+            logprobs.append(out.reshape(shape))
+            logging.info("completed %s", obj_class)
+    else:
+        for obj_class in batch["ovssc_obj_classes"]:
+            idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
+            xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
+            feats = jnp.asarray(
+                batch["relevancy"][obj_class][idx].astype(np.float32)
+            )[None, None, :, None]
+            vol = semabs3d_feature_vol(params, cfg, xyz, feats,
+                                       compute_dtype=jnp.bfloat16)
+            out = _dense_decode(
+                params["decoder"], vol, cfg.grid, grid_points,
+                cfg.decoder_concat_xyz_pts,
+            )
+            logprobs.append(out.reshape(shape))
+            logging.info("completed %s", obj_class)
     logprobs = np.stack(logprobs, axis=-1)
 
     tsdf = TSDFVolume(
@@ -245,52 +324,33 @@ def cmd_ovssc(args):
 
 
 def cmd_vool(args):
+    import jax
     import jax.numpy as jnp
 
-    from ..models import (
-        SemAbs3DConfig,
-        SemAbsVOOLConfig,
-        init_semabs_vool,
-        semabs3d_feature_vol,
+    from ..models import semabs3d_feature_vol
+    from ..models.decoder import (
+        _linear,
+        implicit_decoder,
+        pointing_attention,
+        pointing_attention_paired,
     )
-    from ..models.decoder import implicit_decoder, pointing_attention
     from ..models.nets import RELATION_TO_ID
     from ..ops.fusion import pcwrite
 
     scene_bounds = ((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9))
-    batch = prep_data(args, scene_bounds)
+    cfg, params, approach = _restore_net(args, "vool")
+    batch = prep_data(args, scene_bounds, approach)
     shape = tuple(args.sampling_shape)
-
-    def build():
-        cfg = SemAbsVOOLConfig(
-            completion=SemAbs3DConfig(voxel_shape=tuple(args.voxel_shape))
-        )
-        return cfg, init_semabs_vool
-
-    cfg, params = _load_state_params(args, build)
     grid_points = get_sample_points(shape, scene_bounds).astype(np.float32)
     rs = np.random.RandomState(args.seed)
     dump = Path(args.dump_path) / batch["scene_id"]
     dump.mkdir(parents=True, exist_ok=True)
+    ccfg = cfg.completion
+    cparams = params["completion"]
 
-    for (target, relation, reference) in batch["descriptions"]:
-        idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
-        xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
-        tgt = jnp.asarray(batch["relevancy"][target][idx].astype(np.float32))[
-            None, None, :, None
-        ]
-        ref = jnp.asarray(batch["relevancy"][reference][idx].astype(np.float32))[
-            None, None, :, None
-        ]
-        tvol = semabs3d_feature_vol(params["completion"], cfg.completion, xyz,
-                                    tgt, compute_dtype=jnp.bfloat16)
-        rvol = semabs3d_feature_vol(params["completion"], cfg.completion, xyz,
-                                    ref, compute_dtype=jnp.bfloat16)
-        fvol = jnp.concatenate([tvol, rvol], axis=-1)
-        rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
-
-        import jax
-
+    def decode_logits(fvol, sampler_params, pointer_query=None):
+        """spatial-sampler sweep; with ``pointer_query`` the per-point
+        features are pointed at the query vector inside the chunk body."""
         chunk = 2**18
         n = len(grid_points)
         pad = (-n) % chunk
@@ -298,21 +358,84 @@ def cmd_vool(args):
         chunks = jnp.asarray(pts_p.reshape(-1, chunk, 3))
 
         @jax.jit
-        def run(fvol_, chunks_, rel_):
+        def run(fvol_, chunks_):
             def body(c):
                 sampled = implicit_decoder(
-                    params["spatial_sampler"], fvol_, cfg.completion.grid,
-                    c[None], cfg.decoder_concat_xyz_pts, channels_last=True,
+                    sampler_params, fvol_, ccfg.grid, c[None],
+                    getattr(cfg, "decoder_concat_xyz_pts",
+                            ccfg.decoder_concat_xyz_pts),
+                    channels_last=True,
                 )
+                if pointer_query is None:
+                    return sampled[0, :, 0]
                 return pointing_attention(
-                    params["pointer"], sampled, rel_[None, None],
+                    params["pointer"], sampled, pointer_query[None, None],
                     cfg.pointing_method, cfg.pointing_dim,
                     cfg.pointing_temperature,
                 )[0, :, 0]
 
             return jax.lax.map(body, chunks_)
 
-        logits = np.asarray(run(fvol, chunks, rel_emb)).reshape(-1)[:n]
+        return np.asarray(run(fvol, chunks)).reshape(-1)[:n]
+
+    for (target, relation, reference) in batch["descriptions"]:
+        idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
+        xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
+        if approach == "semantic_aware":
+            # RGB completion decoded to pointing features; query =
+            # mlp(cat(CLIP(target), CLIP(reference), relation emb))
+            # (reference net.py:582-636)
+            rgb = jnp.asarray(
+                batch["input_rgb_pts"][idx].astype(np.float32) / 255.0
+            )[None, None]
+            vol = semabs3d_feature_vol(cparams, ccfg, xyz, rgb,
+                                       compute_dtype=jnp.bfloat16)
+            rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
+            query = _linear(
+                params["query_mlp"],
+                jnp.concatenate([
+                    jnp.asarray(batch["text_features"][target]),
+                    jnp.asarray(batch["text_features"][reference]),
+                    rel_emb,
+                ]),
+            )
+
+            def post(feats, q=query):
+                return pointing_attention_paired(
+                    params["pointer"], key=q, query=feats,
+                    method=cfg.pointing_method,
+                    pointing_dim=cfg.pointing_dim,
+                    temperature=cfg.pointing_temperature,
+                )
+
+            logits = _dense_decode(
+                cparams["decoder"], vol, ccfg.grid, grid_points,
+                ccfg.decoder_concat_xyz_pts, post=post,
+            )
+        elif approach == "clip_spatial":
+            # single completion pass on the FULL-description relevancy
+            # (reference net.py:639-678)
+            desc_key = f"{target} {relation} a {reference}"
+            sal = jnp.asarray(
+                batch["relevancy"][desc_key][idx].astype(np.float32)
+            )[None, None, :, None]
+            fvol = semabs3d_feature_vol(cparams, ccfg, xyz, sal,
+                                        compute_dtype=jnp.bfloat16)
+            logits = decode_logits(fvol, params["spatial_sampler"])
+        else:
+            tgt = jnp.asarray(
+                batch["relevancy"][target][idx].astype(np.float32)
+            )[None, None, :, None]
+            ref = jnp.asarray(
+                batch["relevancy"][reference][idx].astype(np.float32)
+            )[None, None, :, None]
+            tvol = semabs3d_feature_vol(cparams, ccfg, xyz, tgt,
+                                        compute_dtype=jnp.bfloat16)
+            rvol = semabs3d_feature_vol(cparams, ccfg, xyz, ref,
+                                        compute_dtype=jnp.bfloat16)
+            fvol = jnp.concatenate([tvol, rvol], axis=-1)
+            rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
+            logits = decode_logits(fvol, params["spatial_sampler"], rel_emb)
         top = logits.max()
         mask = logits > (top - args.vool_band)
         pts = grid_points[mask]
@@ -329,7 +452,164 @@ def cmd_vool(args):
         path = str(dump / f"{desc}.ply")
         pcwrite(path, np.hstack([pts, colors.astype(np.float32)]))
         logging.info("wrote %s (%d pts)", path, len(pts))
+    # scene point cloud for the turntable render (reference
+    # visualize.py:472-487 dumps scene_rgb.ply alongside the localizations)
+    n_scene = min(100000, len(batch["input_xyz_pts"]))
+    sidx = (np.arange(len(batch["input_xyz_pts"])) if n_scene == len(
+        batch["input_xyz_pts"]
+    ) else rs.choice(len(batch["input_xyz_pts"]), size=n_scene, replace=False))
+    pcwrite(
+        str(dump / "scene_rgb.ply"),
+        np.hstack([
+            batch["input_xyz_pts"][sidx],
+            batch["input_rgb_pts"][sidx].astype(np.float32),
+        ]),
+    )
     logging.info("done -> %s", dump)
+
+
+# ---------------------------------------------------------------------------
+# Turntable rendering (reference visualize.py:521-605). open3d/ffmpeg are not
+# in this image; the renderer is a matplotlib 3D scatter turntable written
+# with imageio — mp4 when an ffmpeg backend exists, .gif otherwise.
+# ---------------------------------------------------------------------------
+
+# sashamaps.net/docs/resources/20-colors (public palette, as vendored by the
+# reference visualize.py:489-518)
+TWENTY_COLORS = np.array([
+    [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+    [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+    [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+    [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+    [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128],
+]) / 255.0
+
+
+def load_obj_vertices(path: str) -> np.ndarray:
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+    return np.asarray(verts, np.float32)
+
+
+def load_ply_points(path: str):
+    """Read the ascii PLY written by ops.fusion.pcwrite -> (pts, colors)."""
+    with open(path) as f:
+        n = 0
+        for line in f:
+            line = line.strip()
+            if line.startswith("element vertex"):
+                n = int(line.split()[-1])
+            if line == "end_header":
+                break
+        rows = [f.readline().split() for _ in range(n)]
+    arr = np.asarray(rows, np.float32)
+    pts = arr[:, :3]
+    colors = arr[:, 3:6] / 255.0 if arr.shape[1] >= 6 else None
+    return pts, colors
+
+
+def _upright(pts: np.ndarray) -> np.ndarray:
+    """euler2mat(-pi/2, 0, 0) like the reference: z-up for the turntable."""
+    return np.stack([pts[:, 0], pts[:, 2], -pts[:, 1]], axis=1)
+
+
+def render_turntable(geometries, n_frames=72, size=640, point_size=2.0,
+                     legend=None):
+    """geometries: [(pts, colors 0..1 | None)] -> list of RGB frames."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(size / 100, size / 100), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+    allpts = []
+    for pts, colors in geometries:
+        if len(pts) > 60000:
+            sel = np.random.RandomState(0).choice(len(pts), 60000, replace=False)
+            pts = pts[sel]
+            colors = colors[sel] if colors is not None else None
+        pts = _upright(pts)
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=point_size,
+                   c=colors if colors is not None else "gray",
+                   depthshade=False, linewidths=0)
+        allpts.append(pts)
+    allpts = np.concatenate(allpts) if allpts else np.zeros((1, 3))
+    center = (allpts.min(0) + allpts.max(0)) / 2
+    radius = max(1e-6, (allpts.max(0) - allpts.min(0)).max() / 2)
+    for dim, c in zip("xyz", center):
+        getattr(ax, f"set_{dim}lim")(c - radius, c + radius)
+    ax.set_axis_off()
+    if legend:
+        handles = [
+            plt.Line2D([], [], marker="s", color=c, ls="none", label=l)
+            for l, c in legend.items()
+        ]
+        ax.legend(handles=handles, loc="lower left", framealpha=0,
+                  fontsize=7)
+    frames = []
+    for i in range(n_frames):
+        ax.view_init(elev=25, azim=360.0 * i / n_frames)
+        fig.canvas.draw()
+        frames.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
+    plt.close(fig)
+    return frames
+
+
+def write_video(frames, out_base: str, fps: int = 24) -> str:
+    """mp4 via imageio/ffmpeg when available, else an animated gif."""
+    import imageio
+
+    try:
+        with imageio.get_writer(out_base + ".mp4", fps=fps) as w:
+            for f in frames:
+                w.append_data(f)
+        return out_base + ".mp4"
+    except Exception:
+        imageio.mimsave(out_base + ".gif", frames, duration=1000 // fps,
+                        loop=0)
+        return out_base + ".gif"
+
+
+def cmd_ovssc_visualize(args):
+    """Per-class completion meshes -> one turntable video
+    (reference ovssc_visualize, visualize.py:557-583)."""
+    geoms, legend = [], {}
+    paths = sorted(Path(args.output_path).rglob("*.obj"))
+    for idx, path in enumerate(paths):
+        verts = load_obj_vertices(str(path))
+        if not len(verts):
+            continue
+        color = TWENTY_COLORS[idx % 20]
+        geoms.append((verts, np.tile(color, (len(verts), 1))))
+        legend[path.stem] = tuple(color)
+    if not geoms:
+        logging.warning("no .obj meshes under %s", args.output_path)
+        return
+    frames = render_turntable(geoms, n_frames=args.n_frames, legend=legend,
+                              point_size=4.0)
+    out = write_video(frames, str(Path(args.output_path) / "completion"))
+    logging.info("wrote %s", out)
+
+
+def cmd_vool_visualize(args):
+    """Scene cloud + per-description localization -> one video each
+    (reference vool_visualize, visualize.py:585-605)."""
+    plys = {p.stem: p for p in sorted(Path(args.output_path).rglob("*.ply"))}
+    scene = plys.pop("scene_rgb", None)
+    scene_geom = None
+    if scene is not None:
+        pts, colors = load_ply_points(str(scene))
+        scene_geom = (pts, colors)
+    for desc, path in plys.items():
+        pts, colors = load_ply_points(str(path))
+        geoms = ([scene_geom] if scene_geom else []) + [(pts, colors)]
+        frames = render_turntable(geoms, n_frames=args.n_frames)
+        out = write_video(frames, str(path.parent / desc))
+        logging.info("wrote %s", out)
 
 
 def main(argv=None):
@@ -356,18 +636,38 @@ def main(argv=None):
         p.add_argument("--saliency_config", choices=["ours", "chefer_et_al"],
                        default="ours")
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument(
+            "--approach",
+            choices=["semantic_abstraction", "semantic_aware", "clip_spatial"],
+            default="semantic_abstraction",
+            help="overridden by the checkpoint's args.pkl when present",
+        )
 
     po = sub.add_parser("ovssc-inference")
     add_common(po)
     pv = sub.add_parser("vool-inference")
     add_common(pv)
 
+    def add_render(p):
+        p.add_argument("output_path", type=str,
+                       help="inference dump dir (the <dump-path>/<scene_id>)")
+        p.add_argument("--n_frames", type=int, default=72)
+
+    pov = sub.add_parser("ovssc-visualize")
+    add_render(pov)
+    pvv = sub.add_parser("vool-visualize")
+    add_render(pvv)
+
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     if args.command == "ovssc-inference":
         cmd_ovssc(args)
-    else:
+    elif args.command == "vool-inference":
         cmd_vool(args)
+    elif args.command == "ovssc-visualize":
+        cmd_ovssc_visualize(args)
+    else:
+        cmd_vool_visualize(args)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,28 @@ from .model import ClipConfig, VIT_B_32, encode_text
 from .relevancy import gradcam, zeroshot_weights_from_features
 from .tokenizer import tokenize
 
+
+def gradcam_label_chunked(visual, tiles, zw, prompt_batch_size, **kw):
+    """gradcam with the LABEL axis chunked at ``prompt_batch_size``
+    (reference prompt_batch_size=32, CLIP/clip/__init__.py:157-169).
+
+    The general multi-tail path materializes L x B x H x T x T attention
+    grads per tail block; without chunking a description-heavy dataset
+    scene (~60 labels+sentences) is unbounded in L. lax.map keeps ONE
+    chunk's grads live at a time (the tile forward is recomputed per
+    chunk, as in the reference's per-prompt-batch loop).
+    """
+    l = zw.shape[1]
+    if l <= prompt_batch_size:
+        return gradcam(visual, tiles, zw, **kw)
+    pad = (-l) % prompt_batch_size
+    zwp = jnp.pad(zw, ((0, 0), (0, pad)))
+    chunks = jnp.moveaxis(
+        zwp.reshape(zw.shape[0], -1, prompt_batch_size), 1, 0
+    )  # (nchunks, E, pbs)
+    rels = jax.lax.map(lambda z: gradcam(visual, tiles, z, **kw), chunks)
+    return rels.reshape(-1, *rels.shape[2:])[:l]
+
 CLIP_PIXEL_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_PIXEL_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
@@ -327,6 +349,7 @@ class ClipSaliency:
         cfg: ClipConfig = VIT_B_32,
         compute_dtype=jnp.float32,
         tile_batch_size: int = 32,
+        prompt_batch_size: int = 32,
         accum_chunk: int = 16,
         num_layers: int = 10,
     ):
@@ -334,6 +357,7 @@ class ClipSaliency:
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         self.tile_batch_size = tile_batch_size
+        self.prompt_batch_size = prompt_batch_size
         self.accum_chunk = accum_chunk
         self.num_layers = num_layers
         self._text_jit = jax.jit(
@@ -398,7 +422,8 @@ class ClipSaliency:
         if sig not in self._gradcam_jit:
             self._gradcam_jit[sig] = jax.jit(
                 functools.partial(
-                    gradcam,
+                    gradcam_label_chunked,
+                    prompt_batch_size=self.prompt_batch_size,
                     cfg=self.cfg,
                     num_layers=self.num_layers,
                     positive_attn_only=positive_attn_only,
@@ -542,15 +567,17 @@ class ClipSaliency:
                 tiles = jnp.einsum("bchw,oh->bcow", tiles, rm_c)
                 tiles = jnp.einsum("bcow,pw->bcop", tiles, rm_c)
                 tiles = (jnp.clip(tiles, 0.0, 1.0) - mean) / std
-                rel = gradcam(
-                    visual, tiles, zw, cfg=self.cfg,
-                    num_layers=self.num_layers,
+                rel = gradcam_label_chunked(
+                    visual, tiles, zw,
+                    prompt_batch_size=self.prompt_batch_size,
+                    cfg=self.cfg, num_layers=self.num_layers,
                     positive_attn_only=config.positive_attn_only,
                     compute_dtype=self.compute_dtype,
                 )
                 if config.horizontal_flipping:
-                    rel_f = gradcam(
+                    rel_f = gradcam_label_chunked(
                         visual, tiles[..., ::-1], zw,
+                        prompt_batch_size=self.prompt_batch_size,
                         cfg=self.cfg, num_layers=self.num_layers,
                         positive_attn_only=config.positive_attn_only,
                         compute_dtype=self.compute_dtype,

@@ -34,6 +34,73 @@ def collate(samples: List[dict]) -> Dict[str, object]:
     return out
 
 
+# Static-shape padding rules for batched/sharded evaluation. The reference
+# sidesteps ragged eval samples (return_vis -> un-subsampled points,
+# dataset.py:603,:1010) by forcing batch 1 per rank (eval.py:54-66); on TPU
+# the batch axis is sharded over the mesh, so samples in a batch are padded
+# to a common (bucketed) shape instead. Padded mask rows are True and the
+# group axis is padding_mask'd, so losses/metrics ignore every padded
+# element exactly like reference patch padding (dataset.py:1124-1130).
+_PAD_VALUES = {
+    "out_of_bounds_pts": True,
+    "out_of_frustum_pts_mask": True,
+    "padding_mask": True,
+    "spatial_relation_id": 6,  # RELATIONS.index("[pad]")
+}
+_PAD_STRINGS = {
+    "patch_labels": "",
+    "spatial_relation_name": "[pad]",
+    "target_obj_name": "",
+    "reference_obj_name": "",
+}
+# keys whose axis-1 is the (raggedest) output-point axis, bucketed to bound
+# XLA recompiles across batches
+_POINT_AXIS_KEYS = (
+    "output_xyz_pts", "output_label_pts", "out_of_bounds_pts",
+    "out_of_frustum_pts_mask",
+)
+
+
+def _round_up(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def collate_padded(samples: List[dict], point_bucket: int = 2048) -> Dict[str, object]:
+    """Collate with per-key padding to the per-dimension max across the
+    batch (point axes rounded up to ``point_bucket``)."""
+    out = {}
+    point_max = 0
+    for k in _POINT_AXIS_KEYS:
+        if k in samples[0]:
+            point_max = max(
+                point_max, max(s[k].shape[1] for s in samples)
+            )
+    point_dim = _round_up(point_max, point_bucket) if point_max else 0
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            nd = vals[0].ndim
+            target = [max(v.shape[d] for v in vals) for d in range(nd)]
+            if k in _POINT_AXIS_KEYS and nd >= 2:
+                target[1] = point_dim
+            fill = _PAD_VALUES.get(k, 0)
+            padded = []
+            for v in vals:
+                pads = [(0, t - s) for t, s in zip(target, v.shape)]
+                if any(p[1] for p in pads):
+                    v = np.pad(v, pads, constant_values=fill)
+                padded.append(v)
+            out[k] = np.stack(padded)
+        elif isinstance(vals[0], list) and k in _PAD_STRINGS:
+            width = max(len(v) for v in vals)
+            out[k] = [
+                list(v) + [_PAD_STRINGS[k]] * (width - len(v)) for v in vals
+            ]
+        else:
+            out[k] = vals
+    return out
+
+
 class ShardedSampler:
     """Deterministic per-epoch shuffled index sharding
     (reference DistributedSampler semantics, utils.py:506-512)."""
@@ -61,8 +128,8 @@ class ShardedSampler:
             idx = idx[:usable]
         else:
             pad = (-len(idx)) % self.num_shards
-            if pad:
-                idx = np.concatenate([idx, idx[:pad]])
+            if pad:  # cyclic tiling: pad may exceed the sample count
+                idx = np.concatenate([idx, np.resize(idx, pad)])
         return idx[self.shard_id :: self.num_shards]
 
 
@@ -71,7 +138,9 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, num_workers: int = 4,
                  sampler: Optional[ShardedSampler] = None, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = False):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = False,
+                 pad_to_full_batches: bool = False,
+                 pad_static_shapes: bool = False, point_bucket: int = 2048):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(0, num_workers)
@@ -80,6 +149,17 @@ class DataLoader:
         )
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # wrap-pad the index list so every batch is FULL (required when the
+        # batch axis is sharded over a device mesh — XLA shapes are static).
+        # DistributedSampler pads the same way (reference utils.py:506-512);
+        # unlike it, the duplicated samples are FLAGGED: each batch carries a
+        # "_sample_pad" bool array so eval can NaN the duplicate rows and
+        # sharded stats match single-device exactly.
+        self.pad_to_full_batches = pad_to_full_batches
+        # ragged samples (return_vis eval) padded to a common bucketed
+        # shape so the batch axis can shard over a mesh (see collate_padded)
+        self.pad_static_shapes = pad_static_shapes
+        self.point_bucket = point_bucket
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
@@ -94,17 +174,38 @@ class DataLoader:
 
     def _batches(self) -> List[np.ndarray]:
         idx = self.sampler.indices()
+        n_real = len(idx)
+        if self.pad_to_full_batches and not self.drop_last:
+            pad = (-n_real) % self.batch_size
+            if pad:  # cyclic tiling: pad may exceed the sample count
+                idx = np.concatenate([idx, np.resize(idx, pad)])
         nb = len(idx) // self.batch_size if self.drop_last else (
             (len(idx) + self.batch_size - 1) // self.batch_size
         )
-        return [idx[i * self.batch_size : (i + 1) * self.batch_size]
-                for i in range(nb)]
+        out = []
+        for i in range(nb):
+            b = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            is_pad = np.arange(i * self.batch_size,
+                               i * self.batch_size + len(b)) >= n_real
+            out.append((b, is_pad))
+        return out
+
+    def _load(self, b) -> dict:
+        idxs, is_pad = b
+        samples = [self.dataset[int(i)] for i in idxs]
+        if self.pad_static_shapes:
+            batch = collate_padded(samples, self.point_bucket)
+        else:
+            batch = collate(samples)
+        if self.pad_to_full_batches:
+            batch["_sample_pad"] = is_pad
+        return batch
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batches()
         if self.num_workers == 0:
             for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
+                yield self._load(b)
             return
 
         from concurrent.futures import ThreadPoolExecutor
@@ -114,12 +215,7 @@ class DataLoader:
 
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = [
-                    pool.submit(
-                        lambda bb: collate([self.dataset[int(i)] for i in bb]), b
-                    )
-                    for b in batches
-                ]
+                futures = [pool.submit(self._load, b) for b in batches]
                 for fut in futures:
                     if stop.is_set():
                         for f in futures:

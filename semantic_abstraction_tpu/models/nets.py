@@ -83,6 +83,22 @@ class SemAbs3DConfig:
     output_dim: int = 1
     decoder_concat_xyz_pts: bool = True
 
+    # Honor ``reduce_method`` in the voxel scatter instead of reproducing
+    # the reference quirk. QUIRK (net.py:186-199): VirtualGrid.scatter_points
+    # assigns its ``reduce_method`` argument to a local that is never used —
+    # the actual torch_scatter call reads ``self.reduce_method``, i.e. the
+    # VirtualGrid's OWN field, which SemAbs3D.__init__ never sets (net.py:
+    # 339-344), so it stays at the ctor default "mean". Every reference
+    # model therefore scatters with MEAN regardless of --reduce_method, and
+    # the released checkpoints were trained that way; checkpoint parity
+    # requires the quirk (the default). The eval-metrics voxelizer is NOT
+    # affected (utils.py:633-638 passes reduce_method="max" to the ctor).
+    honor_reduce_method: bool = False
+
+    @property
+    def effective_reduce_method(self) -> str:
+        return self.reduce_method if self.honor_reduce_method else "mean"
+
     @property
     def pts_feature_dim(self) -> int:
         return (
@@ -171,8 +187,8 @@ def semabs3d_feature_vol(
     if valid_mask is not None:
         valid_mask = jnp.broadcast_to(valid_mask[:, None], (b, p, n)).reshape(b * p, n)
     vol = cfg.grid.scatter_points(
-        xyz, feats, reduce_method=cfg.reduce_method, valid_mask=valid_mask,
-        channels_last=True,
+        xyz, feats, reduce_method=cfg.effective_reduce_method,
+        valid_mask=valid_mask, channels_last=True,
     )
     if "tsdf" in cfg.network_inputs:
         tsdf = jnp.broadcast_to(

@@ -4,6 +4,8 @@ from .mesh import (
     batch_sharding,
     shard_batch,
     local_device_count,
+    maybe_initialize_distributed,
+    mesh_size_from_args,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "batch_sharding",
     "shard_batch",
     "local_device_count",
+    "maybe_initialize_distributed",
+    "mesh_size_from_args",
 ]

@@ -59,6 +59,46 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Device-put every array in ``batch`` with its batch axis sharded."""
+    """Device-put every array in ``batch`` with its batch axis sharded.
+
+    Multi-host: each process holds only its shard of the global batch
+    (ShardedSampler shards the index space by process); the global array is
+    assembled with ``make_array_from_process_local_data`` — the JAX
+    equivalent of torchrun's per-rank DataLoader + DistributedSampler
+    (reference utils.py:506-512, README.md:241-255).
+    """
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def maybe_initialize_distributed() -> bool:
+    """``jax.distributed.initialize()`` when a multi-host launch is
+    configured (reference NCCL init, utils.py:131-137).
+
+    Triggered by SEMABS_DISTRIBUTED=1 or a coordinator address in the
+    environment; a no-op single-host so every CLI can call it
+    unconditionally. Returns True when initialization ran.
+    """
+    import os
+
+    want = os.environ.get("SEMABS_DISTRIBUTED") == "1" or any(
+        k in os.environ
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not want:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
+def mesh_size_from_args(args) -> int:
+    """Devices the training mesh will span: --num_devices, or all
+    (process-global) devices when unset; 1 disables the mesh."""
+    if getattr(args, "num_devices", None) == 1:
+        return 1
+    return args.num_devices or len(jax.devices())

@@ -27,7 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataConfig, DataLoader, ObjectLocalizationDataset, SceneCompletionDataset
+from ..data import (
+    DataConfig,
+    DataLoader,
+    ObjectLocalizationDataset,
+    SceneCompletionDataset,
+    ShardedSampler,
+)
 from ..models import (
     ClipSpatialVOOLConfig,
     SemAbs3DConfig,
@@ -212,9 +218,12 @@ def setup_experiment(args, task: str, approach: str,
     forward_loss, init_fn = APPROACHES[(task, approach)]
     params = init_fn(jax.random.PRNGKey(args.seed), cfg)
     logging.info("NUM PARAMS: %d", count_params(params))
-    steps_per_epoch = max(
-        1, len(datasets.get("train", [])) // max(args.batch_size, 1)
-    )
+    # --batch_size is PER-DEVICE (the reference's batch-1-per-GPU regime,
+    # README.md:241-255): the global batch scales with the mesh
+    from ..parallel import mesh_size_from_args
+
+    global_batch = max(args.batch_size, 1) * mesh_size_from_args(args)
+    steps_per_epoch = max(1, len(datasets.get("train", [])) // global_batch)
     tx = make_optimizer(
         lr=args.lr,
         weight_decay=args.weight_decay,
@@ -302,6 +311,7 @@ def run_eval_split(
             aux["ignore"], cutoffs, scene_bounds, voxel_shapes,
         )
         stats = {k: np.asarray(v) for k, v in stats.items()}
+        sample_pad = np.asarray(batch.get("_sample_pad", np.zeros(0, bool)))
         if task == "ovssc":
             meta = {
                 "scene_id": [
@@ -329,6 +339,10 @@ def run_eval_split(
                 ],
             }
             pad = np.asarray(batch["padding_mask"])
+        if sample_pad.size:
+            # duplicated wrap-pad samples (full-batch sharded eval) are
+            # NaN'd like padding so sharded stats == single-device stats
+            pad = pad | sample_pad[:, None]
         frames.append(detailed_stats_frame(stats, cutoffs, meta, pad))
     detailed = (
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
@@ -395,21 +409,53 @@ def train(
 
     bounds = setup["datasets"][next(iter(setup["datasets"]))].cfg.scene_bounds
     global_step = int(state.step)
+    # multi-chip batching: --batch_size is per-device; the mesh scales the
+    # global batch and each PROCESS loads only its shard of the index space
+    # (torchrun's DistributedSampler regime, reference utils.py:506-512)
+    n_mesh = 1 if mesh is None else int(mesh.devices.size)
+    global_batch = max(args.batch_size, 1) * n_mesh
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    if global_batch % n_proc:
+        raise ValueError(
+            f"global batch {global_batch} (batch_size {args.batch_size} x "
+            f"{n_mesh} mesh devices) must divide the {n_proc} processes"
+        )
+    local_batch = global_batch // n_proc
+    # log-flush cadence: buffering device scalars keeps the host from
+    # syncing on every step, so dispatch runs ahead of the device
+    log_flush = 16
     for epoch in range(setup["start_epoch"], args.epochs):
         for split, ds in setup["datasets"].items():
             is_train = split == "train"
             if not is_train and epoch % args.eval_freq != 0:
                 continue
             try:
+                sampler = ShardedSampler(
+                    len(ds), num_shards=n_proc, shard_id=proc_id,
+                    shuffle=is_train, seed=args.seed, drop_last=is_train,
+                )
                 loader = DataLoader(
-                    ds, batch_size=args.batch_size,
-                    num_workers=args.num_workers, shuffle=is_train,
-                    seed=args.seed, drop_last=is_train,
+                    ds, batch_size=local_batch,
+                    num_workers=args.num_workers, sampler=sampler,
+                    drop_last=is_train,
+                    pad_to_full_batches=(not is_train) and mesh is not None,
+                    pad_static_shapes=(not is_train) and mesh is not None,
                 )
                 loader.set_epoch(epoch)
                 if is_train:
                     t_start = time.time()
                     losses = []
+                    pending = []
+
+                    def flush():
+                        for gs, st in pending:
+                            vals = {k: float(v) for k, v in st.items()}
+                            losses.append(vals["loss"])
+                            if writers:
+                                for k, v in vals.items():
+                                    writers[split].add_scalar(k, v, gs)
+                        pending.clear()
+
                     for bi, batch in enumerate(loader):
                         if max_steps_per_epoch and bi >= max_steps_per_epoch:
                             break
@@ -422,12 +468,10 @@ def train(
                             jax.profiler.stop_trace()
                             profile_dir = None
                         global_step += 1
-                        losses.append(float(stats["loss"]))
-                        if writers:
-                            for k, v in stats.items():
-                                writers[split].add_scalar(
-                                    k, float(v), global_step
-                                )
+                        pending.append((global_step, stats))
+                        if len(pending) >= log_flush:
+                            flush()
+                    flush()
                     logging.info(
                         "epoch %d train: loss %.4f (%d steps, %.1fs)",
                         epoch, float(np.mean(losses)) if losses else float("nan"),

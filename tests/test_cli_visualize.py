@@ -90,3 +90,122 @@ def test_visualize_ovssc_inference_end_to_end(tmp_path):
     ])
     out_dir = tmp_path / "vis" / "kitchen"
     assert out_dir.exists()
+
+    # turntable render of whatever meshes the inference produced
+    # (reference ovssc_visualize, visualize.py:557-583; gif fallback here —
+    # no ffmpeg/open3d in the image)
+    if list(out_dir.rglob("*.obj")):
+        visualize.main([
+            "ovssc-visualize", str(out_dir), "--n_frames", "4",
+        ])
+        rendered = list(out_dir.glob("completion.*"))
+        assert rendered, "no turntable video written"
+
+
+def _tiny_scene(tmp_path, rs, descriptions):
+    import pickle
+
+    h, w = 48, 48
+    scene = {
+        "rgb": rs.randint(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rs.uniform(0.5, 1.6, (h, w)).astype(np.float32),
+        "cam_intr": np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                             np.float32),
+        "cam_extr": np.eye(4, dtype=np.float32),
+        "ovssc_obj_classes": [],
+        "descriptions": descriptions,
+    }
+    scene_path = str(tmp_path / "scene.pkl")
+    with open(scene_path, "wb") as f:
+        pickle.dump(scene, f)
+    return scene_path
+
+
+def test_visualize_vool_inference_and_turntable(tmp_path):
+    """vool-inference (flagship) -> .ply + scene_rgb.ply -> vool-visualize."""
+    from semantic_abstraction_tpu.cli import visualize
+
+    rs = np.random.RandomState(1)
+    scene_path = _tiny_scene(tmp_path, rs, [("mug", "on", "table")])
+    visualize.main([
+        "vool-inference", scene_path,
+        "--dump-path", str(tmp_path / "vis"),
+        "--voxel_shape", "16", "16", "16",
+        "--sampling_shape", "16", "16", "16",
+        "--num_input_pts", "512",
+        "--random-weights", "--saliency_config", "chefer_et_al",
+        "--compute_dtype", "float32",
+    ])
+    out_dir = tmp_path / "vis" / "scene"
+    plys = {p.stem for p in out_dir.glob("*.ply")}
+    assert "scene_rgb" in plys and "mug_on_table" in plys
+    visualize.main(["vool-visualize", str(out_dir), "--n_frames", "3"])
+    assert list(out_dir.glob("mug_on_table.*")) != []
+
+
+def test_visualize_clip_spatial_approach(tmp_path):
+    """--approach clip_spatial runs the full-description relevancy path."""
+    from semantic_abstraction_tpu.cli import visualize
+
+    rs = np.random.RandomState(2)
+    scene_path = _tiny_scene(tmp_path, rs, [("mug", "on", "table")])
+    visualize.main([
+        "vool-inference", scene_path,
+        "--dump-path", str(tmp_path / "vis_cs"),
+        "--voxel_shape", "16", "16", "16",
+        "--sampling_shape", "12", "12", "12",
+        "--num_input_pts", "256",
+        "--random-weights", "--saliency_config", "chefer_et_al",
+        "--compute_dtype", "float32",
+        "--approach", "clip_spatial",
+    ])
+    assert (tmp_path / "vis_cs" / "scene" / "mug_on_table.ply").exists()
+
+
+def test_restore_net_config_from_args_pkl(tmp_path):
+    """The checkpoint's args.pkl reconstructs NON-DEFAULT net configs
+    (reference visualize.py:310-315); a ckpt trained with custom UNet
+    flags must load into the matching architecture."""
+    import argparse
+    import pickle
+
+    from semantic_abstraction_tpu.cli.visualize import _restore_net
+    from semantic_abstraction_tpu.models import SemAbs3DConfig, init_semabs3d
+    from semantic_abstraction_tpu.runtime import (
+        init_train_state,
+        make_optimizer,
+    )
+    from semantic_abstraction_tpu.runtime.checkpoint import save_checkpoint
+
+    cfg = SemAbs3DConfig(
+        voxel_shape=(16, 16, 16), unet_num_channels=8, unet_f_maps=4,
+        unet_num_groups=2, unet_num_levels=3, pts_feat_extractor_hidden_dim=16,
+    )
+    params = init_semabs3d(jax.random.PRNGKey(3), cfg)
+    tx = make_optimizer(num_training_steps=1)
+    state = init_train_state(params, tx)
+    ckpt = str(tmp_path / "latest.ckpt")
+    save_checkpoint(ckpt, state, epoch=1)
+    saved_args = {
+        "voxel_shape": [16, 16, 16],
+        "scene_bounds": [-1.0, -1.0, -0.1, 1.0, 1.0, 1.9],
+        "unet_num_channels": 8, "unet_f_maps": 4, "unet_num_groups": 2,
+        "unet_num_levels": 3, "network_inputs": ["saliency"],
+        "use_pts_feat_extractor": True, "pts_feat_extractor_hidden_dim": 16,
+        "reduce_method": "max", "decoder_concat_xyz_pts": True,
+        "pointing_method": "cosine_sim", "pointing_dim": 64,
+        "approach": "semantic_abstraction",
+    }
+    with open(tmp_path / "args.pkl", "wb") as f:
+        pickle.dump(saved_args, f)
+    args = argparse.Namespace(
+        load=ckpt, approach="semantic_abstraction",
+        voxel_shape=[128, 128, 128],  # deliberately wrong CLI default
+    )
+    restored_cfg, restored_params, approach = _restore_net(args, "ovssc")
+    assert restored_cfg.unet_num_channels == 8
+    assert restored_cfg.unet_num_levels == 3
+    assert restored_cfg.voxel_shape == (16, 16, 16)
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(restored_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

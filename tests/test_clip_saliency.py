@@ -174,6 +174,32 @@ def test_chefer_config_single_scale():
     assert cfg.augmentations == 0 and not cfg.horizontal_flipping
 
 
+def test_gradcam_label_chunking_matches_unchunked():
+    """prompt_batch_size chunking (reference CLIP/clip/__init__.py:157-169)
+    changes memory, not values — 70 labels on the general multi-tail path."""
+    from semantic_abstraction_tpu.clip import ClipConfig, init_clip_params
+    from semantic_abstraction_tpu.clip.relevancy import gradcam
+    from semantic_abstraction_tpu.clip.saliency import gradcam_label_chunked
+
+    cfg = ClipConfig(
+        embed_dim=16, image_resolution=32, vision_layers=3, vision_width=64,
+        vision_patch_size=16, text_width=16, text_heads=1, text_layers=1,
+    )
+    params = init_clip_params(jax.random.PRNGKey(1), cfg)
+    rs = np.random.RandomState(5)
+    tiles = jnp.asarray(rs.randn(2, 3, 32, 32).astype(np.float32) * 0.1)
+    zw = jnp.asarray(rs.randn(16, 70).astype(np.float32))
+    full = gradcam(params["visual"], tiles, zw, cfg, num_layers=0)
+    chunked = gradcam_label_chunked(
+        params["visual"], tiles, zw, prompt_batch_size=16, cfg=cfg,
+        num_layers=0,
+    )
+    assert chunked.shape == full.shape == (70, 2, 2, 2)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), atol=1e-5, rtol=1e-4
+    )
+
+
 def test_gradcam_single_tail_fast_path_matches_general():
     """The closed-form CLS-row gradient path (relevancy._gradcam_single_tail)
     == the general vmapped-VJP path."""

@@ -1,0 +1,194 @@
+"""COMPOSED relevancy-pipeline parity: our ClipSaliency.get_clip_saliency vs
+the reference ClipWrapper.get_clip_saliency (multi-scale convolve) as ONE
+assembled pipeline on the same small hooked CLIP.
+
+Pins the cross-stage seams the per-piece tests cannot: tile batching order,
+per-scale count normalization -> cross-scale mean, the reference's f16
+canvases, and the zeroshot text-feature outputs. Reference:
+CLIP/clip/__init__.py:103-282, clip_gradcam.py:30-143.
+
+RNG-free comparison: horizontal_flipping off, augmentations=0, and the
+reference ClipGradcam.preprocess patched to the same PIL-parity resize
+matmul our extractor uses, so both pipelines consume bit-identical tiles
+and the test isolates the pipeline seams rather than resize rounding.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ref_oracle import ref_clip_module, ref_clip_wrapper_module  # noqa: E402
+
+from semantic_abstraction_tpu.clip import (  # noqa: E402
+    ClipConfig,
+    ClipSaliency,
+    CropSpec,
+    SaliencyConfig,
+    convert_clip_state_dict,
+)
+from semantic_abstraction_tpu.clip.saliency import (  # noqa: E402
+    CLIP_PIXEL_MEAN,
+    CLIP_PIXEL_STD,
+)
+from semantic_abstraction_tpu.ops.sampling import resize_matrix  # noqa: E402
+
+SMALL = ClipConfig(
+    embed_dim=64,
+    image_resolution=64,
+    vision_layers=4,
+    vision_width=128,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    text_width=64,
+    text_heads=1,
+    text_layers=2,
+)
+NUM_LAYERS = 1  # blocks with index > 1 of the 4 contribute (ref :85-87)
+
+
+def _matmul_preprocess(resolution):
+    """PIL tile -> CLIP tensor via the same bicubic resize matmuls as our
+    extractor (saliency.extract_tiles), so tiles are bit-identical."""
+    cache = {}
+
+    def preprocess(pil_img):
+        a = np.asarray(pil_img).astype(np.float32) / 255.0  # (ts, ts, 3)
+        ts = a.shape[0]
+        if ts not in cache:
+            cache[ts] = resize_matrix(ts, resolution, "bicubic_pil")
+        rm = cache[ts]
+        x = a.transpose(2, 0, 1)
+        x = np.einsum("chw,oh->cow", x, rm)
+        x = np.einsum("cow,pw->cop", x, rm)
+        x = np.clip(x, 0.0, 1.0)
+        x = (x - CLIP_PIXEL_MEAN[:, None, None]) / CLIP_PIXEL_STD[:, None, None]
+        return torch.from_numpy(x.astype(np.float32))
+
+    return preprocess
+
+
+@pytest.fixture(scope="module")
+def pipelines():
+    me = ref_clip_module("model_explainability")
+    wrap = ref_clip_wrapper_module()
+    torch.manual_seed(0)
+    ref_model = me.CLIP(
+        embed_dim=SMALL.embed_dim,
+        image_resolution=SMALL.image_resolution,
+        vision_layers=SMALL.vision_layers,
+        vision_width=SMALL.vision_width,
+        vision_patch_size=SMALL.vision_patch_size,
+        context_length=SMALL.context_length,
+        vocab_size=SMALL.vocab_size,
+        transformer_width=SMALL.text_width,
+        transformer_heads=SMALL.text_heads,
+        transformer_layers=SMALL.text_layers,
+    ).float().eval()
+
+    # assemble the reference singleton manually (load() would download):
+    GC = wrap.ClipGradcam
+    gc = GC.__new__(GC)
+    torch.nn.Module.__init__(gc)
+    gc.clip_model_name = "test"
+    gc.model = ref_model
+    gc.preprocess = _matmul_preprocess(SMALL.image_resolution)
+    gc.templates = ["a photo of a {}"]
+    gc.device = "cpu"
+    gc.target_classes = None
+    gc.num_layers = NUM_LAYERS
+    gc.positive_attn_only = True
+    # interpret's .view uses num_res_attn_blocks where the head count
+    # belongs (works on ViT-B because heads == blocks == 12); the small
+    # model has vision_width//64 == 2 heads
+    gc.num_res_attn_blocks = SMALL.vision_width // 64
+    W0 = wrap.ClipWrapper
+    W0.device = "cpu"
+    W0.clip_model = ref_model
+    W0.clip_gradcam = gc
+    W0.jittering_transforms = None
+
+    class W(W0):
+        """The reference indexes torch tensors with numpy OBJECT arrays of
+        slices (__init__.py:227 / :282), which torch >= 2 rejects; re-pack
+        each tile slice as a real tuple (indexing semantics unchanged)."""
+
+        @classmethod
+        def create_tiles(cls, **kwargs):
+            tiles, tile_imgs, counts, tile_sizes = W0.create_tiles.__func__(
+                cls, **kwargs
+            )
+            arr = np.empty(len(tiles), dtype=object)
+            for i in range(len(tiles)):
+                arr[i] = tuple(tiles[i])
+            return arr, tile_imgs, counts, tile_sizes
+
+    params, cfg = convert_clip_state_dict(
+        {k: v for k, v in ref_model.state_dict().items()}, SMALL
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    ours = ClipSaliency(params, cfg, tile_batch_size=8, num_layers=NUM_LAYERS)
+    return W, ours
+
+
+def test_composed_saliency_parity(pipelines):
+    W, ours = pipelines
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+    labels = ["chair", "table", "sofa"]
+    prompts = ["a photo of a {}"]
+    crops = [
+        {"tile_size": 96, "stride": 24},
+        {"tile_size": 48, "stride": 12},
+    ]
+    ref_maps, ref_feats = W.get_clip_saliency(
+        img=img,
+        text_labels=labels,
+        prompts=prompts,
+        horizontal_flipping=False,
+        positive_attn_only=True,
+        augmentations=0,
+        cropping_augmentations=crops,
+    )
+    ref_maps = ref_maps.float().numpy()
+
+    config = SaliencyConfig(
+        crops=(CropSpec(96, 24), CropSpec(48, 12)),
+        horizontal_flipping=False,
+        augmentations=0,
+    )
+    maps, _ = ours.get_clip_saliency(img, labels, tuple(prompts), config)
+    maps = np.asarray(maps).astype(np.float32)
+
+    assert maps.shape == ref_maps.shape == (3, 96, 128)
+    # reference accumulates canvases in f16 (ours f32, f16 only on output):
+    # tolerance covers f16 accumulation rounding, nothing else
+    scale = np.abs(ref_maps).max()
+    np.testing.assert_allclose(maps, ref_maps, atol=2e-2 * scale, rtol=2e-2)
+    # and the maps must be pointwise well-correlated, not just close in norm
+    cc = np.corrcoef(maps.ravel(), ref_maps.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_composed_text_feature_parity(pipelines):
+    """get_clip_saliency's second output: the reference returns the
+    prompt-ensembled NORMALIZED zeroshot features (class_to_language_feature,
+    __init__.py:117-121); our zeroshot_weights must match them."""
+    W, ours = pipelines
+    labels = ["chair", "table"]
+    prompts = ["a photo of a {}", "a picture of a {}"]
+    W.clip_gradcam.templates = prompts
+    W.clip_gradcam.set_classes(labels)
+    ref_feats = (
+        torch.stack(
+            list(W.clip_gradcam.class_to_language_feature.values()), dim=0
+        )
+        .squeeze(-1)
+        .detach()
+        .numpy()
+    )
+    got = np.asarray(ours.zeroshot_weights(labels, prompts)).T  # (L, E)
+    np.testing.assert_allclose(got, ref_feats, atol=2e-4, rtol=1e-3)
