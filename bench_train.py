@@ -53,13 +53,17 @@ def main():
     }
     state, stats = step(state, batch)
     float(stats["loss"])  # host readback forces completion (axon tunnel)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # steady state: the train loop no longer syncs per step (scalars are
+    # buffered and flushed every 16 steps), so dispatch runs ahead of the
+    # device; measure N chained steps synced once at the end. Each step
+    # consumes the previous state (donated), so nothing is memoized and the
+    # last loss readback forces the whole chain.
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
         state, stats = step(state, batch)
-        float(stats["loss"])
-        times.append(time.perf_counter() - t0)
-    steps_per_sec = 1.0 / min(times)
+    float(stats["loss"])
+    steps_per_sec = n / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "ovssc_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),

@@ -191,8 +191,8 @@ def _restore_net(args, task):
     return cfg, params, approach
 
 
-def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18,
-                  post=None):
+def _dense_decode_device(decoder_params, vol, grid, pts, concat_xyz,
+                         chunk=2**18, post=None):
     """Implicit-decoder sweep over a dense point grid, lax.map-chunked.
 
     The channel-last feature volume is neighborhood-PACKED once and every
@@ -232,9 +232,62 @@ def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18,
 
         return jax.lax.map(body, chunks_)
 
-    out = np.asarray(run(vol, chunks))
+    return run(vol, chunks), n
+
+
+def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18,
+                  post=None):
+    out, n = _dense_decode_device(decoder_params, vol, grid, pts, concat_xyz,
+                                  chunk, post)
+    out = np.asarray(out)
     out = out.reshape(-1, *out.shape[2:])
     return out[:n]
+
+
+class DenseArgmax:
+    """Device-resident running (argmax, max) over per-class dense sweeps.
+
+    The 240^3 sweep's bottleneck through the axon tunnel is READBACK:
+    ~55 MB of f32 logits per class at ~25 MB/s. Keeping a running
+    (best_idx uint8, best_val) pair on device and reading back once makes
+    the transfer ~28 MB total, independent of the class count."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self._best = None
+
+        @jax.jit
+        def upd(bv, bi, out, ci):
+            out = out.reshape(-1)
+            better = out > bv
+            return (
+                jnp.where(better, out, bv),
+                jnp.where(better, jnp.uint8(ci), bi),
+            )
+
+        @jax.jit
+        def init(out):
+            out = out.reshape(-1)
+            return out, jnp.zeros(out.shape, jnp.uint8)
+
+        self._upd, self._init = upd, init
+
+    def update(self, out_dev, class_idx):
+        if self._best is None:
+            self._best = self._init(out_dev)
+        else:
+            self._best = self._upd(*self._best, out_dev, class_idx)
+
+    def finalize(self, n, cutoff):
+        """-> (prediction uint8 (n,), empty bool (n,)) on host."""
+        import jax
+        import jax.numpy as jnp
+
+        bv, bi = self._best
+        empty = jax.jit(lambda v: v < cutoff)(bv)
+        return np.asarray(bi)[:n], np.asarray(empty)[:n]
 
 
 def cmd_ovssc(args):
@@ -254,7 +307,11 @@ def cmd_ovssc(args):
     dump = Path(args.dump_path) / batch["scene_id"]
     dump.mkdir(parents=True, exist_ok=True)
 
-    logprobs = []
+    # running (argmax, max) accumulated ON DEVICE: per-class logit volumes
+    # are never read back (55 MB/class over the tunnel); only the final
+    # uint8 prediction + empty mask transfer (~28 MB total)
+    acc = DenseArgmax()
+    n_pts = len(grid_points)
     if approach == "semantic_aware":
         # one RGB feature volume shared by all classes; the CLIP-dim
         # decode is pointed at each class text feature INSIDE the sweep
@@ -266,7 +323,7 @@ def cmd_ovssc(args):
         )[None, None]
         vol = semabs3d_feature_vol(cparams, ccfg, xyz, rgb_feats,
                                    compute_dtype=jnp.bfloat16)
-        for obj_class in batch["ovssc_obj_classes"]:
+        for ci, obj_class in enumerate(batch["ovssc_obj_classes"]):
             cf = jnp.asarray(batch["text_features"][obj_class])
 
             def post(feats, cf=cf):
@@ -277,14 +334,14 @@ def cmd_ovssc(args):
                     temperature=cfg.pointing_temperature,
                 )
 
-            out = _dense_decode(
+            out, _ = _dense_decode_device(
                 cparams["decoder"], vol, ccfg.grid, grid_points,
                 ccfg.decoder_concat_xyz_pts, post=post,
             )
-            logprobs.append(out.reshape(shape))
+            acc.update(out, ci)
             logging.info("completed %s", obj_class)
     else:
-        for obj_class in batch["ovssc_obj_classes"]:
+        for ci, obj_class in enumerate(batch["ovssc_obj_classes"]):
             idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
             xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
             feats = jnp.asarray(
@@ -292,13 +349,15 @@ def cmd_ovssc(args):
             )[None, None, :, None]
             vol = semabs3d_feature_vol(params, cfg, xyz, feats,
                                        compute_dtype=jnp.bfloat16)
-            out = _dense_decode(
+            out, _ = _dense_decode_device(
                 params["decoder"], vol, cfg.grid, grid_points,
                 cfg.decoder_concat_xyz_pts,
             )
-            logprobs.append(out.reshape(shape))
+            acc.update(out, ci)
             logging.info("completed %s", obj_class)
-    logprobs = np.stack(logprobs, axis=-1)
+    prediction_flat, empty_flat = acc.finalize(n_pts, args.cutoff)
+    prediction = prediction_flat.reshape(shape)
+    empty = empty_flat.reshape(shape)
 
     tsdf = TSDFVolume(
         np.asarray(scene_bounds).T,
@@ -307,8 +366,6 @@ def cmd_ovssc(args):
     tsdf.integrate(batch["rgb"], batch["depth"], batch["cam_intr"],
                    batch["cam_extr"])
     tsdf_vol = tsdf.get_volume()[0]
-    prediction = logprobs.argmax(axis=-1)
-    empty = (logprobs < args.cutoff).all(axis=-1)
     in_frustum = check_pts_in_frustum_np(
         grid_points, batch["depth"].shape, batch["cam_extr"], batch["cam_intr"]
     ).reshape(shape)
