@@ -9,6 +9,7 @@ from .model import (
 from .tokenizer import ClipTokenizer, tokenize, default_tokenizer
 from .relevancy import gradcam, gradcam_jit, zeroshot_weights_from_features
 from .convert import convert_clip_state_dict, load_clip_checkpoint
+from .resnet import convert_resnet_visual, modified_resnet_forward
 from .saliency import (
     ClipSaliency,
     SaliencyConfig,
@@ -36,6 +37,8 @@ __all__ = [
     "gradcam_jit",
     "zeroshot_weights_from_features",
     "convert_clip_state_dict",
+    "convert_resnet_visual",
+    "modified_resnet_forward",
     "load_clip_checkpoint",
     "ClipSaliency",
     "SaliencyConfig",

@@ -30,6 +30,28 @@ def _np(x) -> np.ndarray:
 
 
 def config_from_state_dict(sd) -> ClipConfig:
+    if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet tower
+        from .resnet import convert_resnet_visual
+
+        _, vcfg = convert_resnet_visual(sd)
+        text_width = _np(sd["ln_final.weight"]).shape[0]
+        return ClipConfig(
+            embed_dim=_np(sd["text_projection"]).shape[1],
+            image_resolution=vcfg["input_resolution"],
+            vision_layers=sum(vcfg["layers"]),
+            vision_width=vcfg["width"],
+            vision_patch_size=32,  # total downsampling factor
+            context_length=_np(sd["positional_embedding"]).shape[0],
+            vocab_size=_np(sd["token_embedding.weight"]).shape[0],
+            text_width=text_width,
+            text_heads=text_width // 64,
+            text_layers=len(
+                {k.split(".")[2] for k in sd
+                 if k.startswith("transformer.resblocks.")}
+            ),
+            vision_arch="resnet",
+            resnet_layers=vcfg["layers"],
+        )
     vision_width = _np(sd["visual.conv1.weight"]).shape[0]
     vision_layers = len(
         {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
@@ -86,6 +108,27 @@ def convert_clip_state_dict(sd, cfg: ClipConfig | None = None):
     """Convert a torch CLIP state_dict to (params pytree, ClipConfig)."""
     if cfg is None:
         cfg = config_from_state_dict(sd)
+    if cfg.vision_arch == "resnet":
+        from .resnet import convert_resnet_visual
+
+        visual, _ = convert_resnet_visual(sd)
+        params = {
+            "visual": visual,
+            "text": {
+                "token_embedding": _np(sd["token_embedding.weight"]),
+                "pos_embed": _np(sd["positional_embedding"]),
+                "blocks": _convert_blocks(
+                    sd, "transformer.resblocks", cfg.text_layers
+                ),
+                "ln_final": {
+                    "scale": _np(sd["ln_final.weight"]),
+                    "bias": _np(sd["ln_final.bias"]),
+                },
+                "projection": _np(sd["text_projection"]),
+            },
+            "logit_scale": _np(sd["logit_scale"]),
+        }
+        return params, cfg
     conv_w = _np(sd["visual.conv1.weight"])  # (W, 3, p, p)
     patch_embed = conv_w.reshape(conv_w.shape[0], -1).T  # (3*p*p, W)
     params = {

@@ -43,9 +43,16 @@ class ClipConfig:
     text_width: int = 512
     text_heads: int = 8
     text_layers: int = 12
+    # "vit" or "resnet" (the ModifiedResNet tower, clip/resnet.py);
+    # resnet_layers holds the per-stage bottleneck counts (RN50: 3,4,6,3)
+    vision_arch: str = "vit"
+    resnet_layers: Tuple[int, ...] = ()
 
     @property
     def vision_heads(self) -> int:
+        if self.vision_arch == "resnet":
+            # attnpool embed dim = width * 32 (reference :160-163)
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property
@@ -239,6 +246,17 @@ def encode_text(
 
 def encode_image(params: dict, pixels: jax.Array, cfg: ClipConfig,
                  compute_dtype=jnp.float32, tile_attn_mask=None):
+    if cfg.vision_arch == "resnet":
+        if tile_attn_mask is not None:
+            raise ValueError(
+                "tile_attn_mask is transformer-only (reference "
+                "CLIP/clip/model.py:250-273 patches the Transformer tower)"
+            )
+        from .resnet import modified_resnet_forward
+
+        return modified_resnet_forward(
+            params["visual"], pixels, cfg.vision_heads, compute_dtype
+        )
     feats, _ = vit_forward(
         params["visual"], pixels, cfg, compute_dtype, attn_mask=tile_attn_mask
     )

@@ -489,6 +489,12 @@ class ClipSaliency:
         """(H, W, 3) uint8 image + labels -> ((L, H, W) relevancy, (L, E)
         text features). Reference get_clip_saliency (__init__.py:103-133).
         """
+        if getattr(self.cfg, "vision_arch", "vit") != "vit":
+            raise ValueError(
+                "relevancy extraction is transformer-only (the reference "
+                "ClipGradcam supports only ViT models, clip_gradcam.py:51-56); "
+                "ModifiedResNet checkpoints serve text/visual features only"
+            )
         if config is None:
             config = ours_config(min(img.shape[:2]))
         if key is None:

@@ -135,6 +135,25 @@ def test_train_vool_end_to_end(vool_dataset_dir, tmp_path, approach):
     assert "spatial_relation_name" in df.columns
 
 
+def test_train_vool_semantic_aware(vool_dataset_dir, tmp_path):
+    """semantic_aware VOOL end-to-end: host-side CLIP text-feature cache
+    feeds target/reference features into the query MLP (reference
+    net.py:582-636; our cli/train_vool.make_text_encoder)."""
+    from semantic_abstraction_tpu.cli import train_vool
+
+    log = str(tmp_path / "log_semaware_vool")
+    args = list(TINY_ARGS)
+    args[args.index("--epochs") + 1] = "1"
+    train_vool.main(
+        ["--file_path", str(vool_dataset_dir), "--log", log,
+         "--approach", "semantic_aware"] + args
+    )
+    assert os.path.exists(os.path.join(log, "latest.ckpt"))
+    with open(os.path.join(log, "detailed_stats.pkl"), "rb") as f:
+        df = pickle.load(f)
+    assert "target_obj_name" in df.columns
+
+
 def test_resume_from_checkpoint(dataset_dir, tmp_path):
     """--load restores net+optimizer+epoch (reference utils.py:276-290)."""
     import jax
