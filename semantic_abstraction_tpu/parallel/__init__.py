@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     local_device_count,
     maybe_initialize_distributed,
+    all_gather_host_objects,
     mesh_size_from_args,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "shard_batch",
     "local_device_count",
     "maybe_initialize_distributed",
+    "all_gather_host_objects",
     "mesh_size_from_args",
 ]

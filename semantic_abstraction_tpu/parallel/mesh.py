@@ -96,6 +96,34 @@ def maybe_initialize_distributed() -> bool:
     return True
 
 
+def all_gather_host_objects(obj):
+    """Gather an arbitrary picklable host object from every process
+    (reference ``dist.all_gather_object`` of detailed-stats DataFrames,
+    utils.py:433-435). Returns the per-process list on every process;
+    single-process it is just ``[obj]``.
+
+    Objects ride DCN as padded uint8 buffers via
+    ``multihost_utils.process_allgather`` (sizes exchanged first).
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([len(data)], np.int64)
+    ).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: len(data)] = data
+    bufs = multihost_utils.process_allgather(buf)
+    return [
+        pickle.loads(bytes(bufs[i, : int(sizes[i])]))
+        for i in range(len(sizes))
+    ]
+
+
 def mesh_size_from_args(args) -> int:
     """Devices the training mesh will span: --num_devices, or all
     (process-global) devices when unset; 1 disables the mesh."""

@@ -347,6 +347,15 @@ def run_eval_split(
     detailed = (
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     )
+    if jax.process_count() > 1:
+        # multi-host: every process holds its scene shard's frames; gather
+        # them all (reference all_gather_object, utils.py:433-435)
+        from ..parallel.mesh import all_gather_host_objects
+
+        parts = [p for p in all_gather_host_objects(detailed) if len(p)]
+        detailed = (
+            pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        )
     means = {k: float(np.mean(v)) if v else float("nan") for k, v in scalars.items()}
     return means, detailed
 

@@ -254,3 +254,17 @@ def test_iou_nan_on_empty_union():
     pred = jnp.zeros((1, 5), bool)
     lab = jnp.zeros((1, 5), bool)
     assert np.isnan(float(iou(pred, lab)[0]))
+
+
+def test_all_gather_host_objects_single_process():
+    """Single-process identity of the all_gather_object equivalent
+    (reference utils.py:433-435); multi-process exchange is exercised by
+    the same pickle/pad round-trip it performs internally."""
+    import pandas as pd
+
+    from semantic_abstraction_tpu.parallel.mesh import all_gather_host_objects
+
+    df = pd.DataFrame({"a": [1.0, 2.0], "b": ["x", "y"]})
+    out = all_gather_host_objects(df)
+    assert len(out) == 1
+    pd.testing.assert_frame_equal(out[0], df)
