@@ -207,40 +207,52 @@ def cmd_dataset(args):
                     f[prefix + "|saliency_text_label_features"] = feats
 
     pending = None  # one-scene-deep software pipeline
+    failures = 0
     for si, path in enumerate(scene_files):
-        with h5py.File(path, "r") as f:
-            done = all(
-                f"data/saliencies/{k}|{args.saliency_config}" in f for k in rgb_keys
-            )
-        if done and not args.overwrite:
-            continue
-        with h5py.File(path, "r") as f:
-            labels = _scene_labels(f)
-            images = {}
-            for k in rgb_keys:
-                if k == "rgb":
-                    images[k] = deref_h5py(f["rgb"], f["data/rgb"])[0].astype(np.uint8)
-                elif k in f["data"]:
-                    images[k] = np.array(f["data"][k][0]).astype(np.uint8)
-        if not labels:
-            continue
-        all_labels = labels + ["mean"]
-        results = []
-        for rgb_key, img in images.items():
-            config = saliency_configs[args.saliency_config](img.shape[0])
-            # async dispatch: returns device arrays without blocking
-            maps_dev, feats_dev = sal.get_clip_saliency(
-                img, labels, [args.prompt], config,
-                key=jax.random.PRNGKey(args.seed + si),
-            )
-            results.append((rgb_key, (maps_dev, feats_dev)))
-        if pending is not None:
-            write_out(pending)
-        pending = (path, all_labels, results)
-        logging.info("[%d/%d] %s: %d labels", si + 1, len(scene_files),
-                     path.name, len(all_labels))
+        # per-scene failures skip-and-continue: the reference's Ray pool
+        # respawns dead ClipWrapper actors and keeps going
+        # (generate_relevancy.py:376-390); a corrupt HDF5 or oversized
+        # scene must not kill a multi-hour dataset sweep
+        try:
+            with h5py.File(path, "r") as f:
+                done = all(
+                    f"data/saliencies/{k}|{args.saliency_config}" in f
+                    for k in rgb_keys
+                )
+            if done and not args.overwrite:
+                continue
+            with h5py.File(path, "r") as f:
+                labels = _scene_labels(f)
+                images = {}
+                for k in rgb_keys:
+                    if k == "rgb":
+                        images[k] = deref_h5py(f["rgb"], f["data/rgb"])[0].astype(np.uint8)
+                    elif k in f["data"]:
+                        images[k] = np.array(f["data"][k][0]).astype(np.uint8)
+            if not labels:
+                continue
+            all_labels = labels + ["mean"]
+            results = []
+            for rgb_key, img in images.items():
+                config = saliency_configs[args.saliency_config](img.shape[0])
+                # async dispatch: returns device arrays without blocking
+                maps_dev, feats_dev = sal.get_clip_saliency(
+                    img, labels, [args.prompt], config,
+                    key=jax.random.PRNGKey(args.seed + si),
+                )
+                results.append((rgb_key, (maps_dev, feats_dev)))
+            if pending is not None:
+                write_out(pending)
+            pending = (path, all_labels, results)
+            logging.info("[%d/%d] %s: %d labels", si + 1, len(scene_files),
+                         path.name, len(all_labels))
+        except Exception:
+            failures += 1
+            logging.exception("scene %s failed; continuing", path.name)
     if pending is not None:
         write_out(pending)
+    if failures:
+        logging.warning("%d scene(s) failed and were skipped", failures)
 
 
 def main(argv=None):

@@ -43,6 +43,10 @@ def test_dataset_command_roundtrip(tmp_path):
     scene = tmp_path / "FloorPlan1_physics_0.hdf5"
     make_scene(scene, rs, h=32, w=32)
     _strip_saliencies(str(scene))
+    # a corrupt scene file (sorts first) must be skipped, not kill the sweep
+    # (reference parity: the Ray pool respawns dead actors and continues,
+    # generate_relevancy.py:376-390)
+    (tmp_path / "FloorPlan0_corrupt_0.hdf5").write_bytes(b"not an hdf5 file")
 
     generate_relevancy.main([
         "dataset", str(tmp_path), "--random-weights",
