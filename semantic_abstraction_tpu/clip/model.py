@@ -115,12 +115,29 @@ def _attention(
     return out, probs
 
 
-def _block_forward(block, x, num_heads, mask=None, attn_eps=None):
-    """Pre-LN residual attention block (reference model_explainability.py:252-255)."""
-    attn_out, probs = _attention(
-        block, layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"]),
-        num_heads, mask, attn_eps,
-    )
+def _attention_fast(block: dict, x: jax.Array, num_heads: int) -> jax.Array:
+    """MHA without attention-prob outputs: fused Pallas kernel on TPU
+    (ops/pallas_kernels.fused_mha, -25% on the ViT fwd scan), XLA fallback
+    elsewhere. Only valid when no mask/eps and probs aren't consumed."""
+    from ..ops.pallas_kernels import fused_mha
+
+    qkv = x @ block["w_qkv"].astype(x.dtype) + block["b_qkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = fused_mha(q, k, v, num_heads)
+    return out @ block["w_out"].astype(x.dtype) + block["b_out"].astype(x.dtype)
+
+
+def _block_forward(block, x, num_heads, mask=None, attn_eps=None, need_probs=True):
+    """Pre-LN residual attention block (reference model_explainability.py:252-255).
+
+    With ``need_probs=False`` (and no mask/eps) attention runs through the
+    fused no-probs kernel and the returned probs are None.
+    """
+    xn = layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"])
+    if not need_probs and mask is None and attn_eps is None:
+        attn_out, probs = _attention_fast(block, xn, num_heads), None
+    else:
+        attn_out, probs = _attention(block, xn, num_heads, mask, attn_eps)
     x = x + attn_out
     h = layer_norm(x, block["ln_2"]["scale"], block["ln_2"]["bias"])
     h = quick_gelu(h @ block["w_fc"].astype(x.dtype) + block["b_fc"].astype(x.dtype))
@@ -134,8 +151,18 @@ def transformer_forward(
     num_heads: int,
     mask: Optional[jax.Array] = None,
     attn_eps: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Scan over stacked block params. Returns (out, probs (L, B, H, T, T))."""
+    need_probs: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scan over stacked block params. Returns (out, probs (L, B, H, T, T));
+    probs is None when ``need_probs=False`` (fused no-probs attention)."""
+
+    if not need_probs and mask is None and attn_eps is None:
+        def body_fast(carry, block):
+            out, _ = _block_forward(block, carry, num_heads, need_probs=False)
+            return out, None
+
+        out, _ = jax.lax.scan(body_fast, x, blocks)
+        return out, None
 
     def body(carry, layer_in):
         block, eps = layer_in
@@ -186,7 +213,8 @@ def vit_forward(
     compute_dtype=jnp.float32,
     attn_eps: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    need_probs: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """ViT image encoder. pixels (B, 3, H, W) -> (features (B, E), probs).
 
     probs is (L, B, H, T, T): every layer's attention probabilities, the
@@ -212,7 +240,8 @@ def vit_forward(
     x = x + pos.astype(compute_dtype)
     x = layer_norm(x, visual["ln_pre"]["scale"], visual["ln_pre"]["bias"])
     x, probs = transformer_forward(
-        visual["blocks"], x, cfg.vision_heads, mask=attn_mask, attn_eps=attn_eps
+        visual["blocks"], x, cfg.vision_heads, mask=attn_mask, attn_eps=attn_eps,
+        need_probs=need_probs,
     )
     x = layer_norm(x[:, 0, :], visual["ln_post"]["scale"], visual["ln_post"]["bias"])
     feats = x @ visual["proj"].astype(compute_dtype)
@@ -258,7 +287,8 @@ def encode_image(params: dict, pixels: jax.Array, cfg: ClipConfig,
             params["visual"], pixels, cfg.vision_heads, compute_dtype
         )
     feats, _ = vit_forward(
-        params["visual"], pixels, cfg, compute_dtype, attn_mask=tile_attn_mask
+        params["visual"], pixels, cfg, compute_dtype, attn_mask=tile_attn_mask,
+        need_probs=False,
     )
     return feats
 

@@ -43,6 +43,55 @@ def test_cam_accumulate_iterated():
                                rtol=1e-3)
 
 
+def test_fused_mha_matches_reference():
+    from semantic_abstraction_tpu.ops.pallas_kernels import (
+        fused_mha, mha_reference, _fused_mha_plan,
+    )
+
+    rs = np.random.RandomState(5)
+    b, t, w, heads = 4, 50, 768, 12  # CLIP ViT-B/32 tile shape (small batch)
+    assert _fused_mha_plan(b, t, w, heads) is not None
+    q = jnp.asarray(rs.randn(b, t, w).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, t, w).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, t, w).astype(np.float32))
+    out_k = fused_mha(q, k, v, heads, True)
+    out_r = mha_reference(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_mha_vjp_matches_reference():
+    """custom_vjp backward == differentiating the XLA reference directly."""
+    from semantic_abstraction_tpu.ops.pallas_kernels import (
+        fused_mha, mha_reference,
+    )
+
+    rs = np.random.RandomState(6)
+    b, t, w, heads = 2, 16, 128, 2
+    q, k, v = (jnp.asarray(rs.randn(b, t, w).astype(np.float32))
+               for _ in range(3))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.sin(fused_mha(q, k, v, heads, True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_reference(q, k, v, heads)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_mha_plan_rejects_unsupported():
+    from semantic_abstraction_tpu.ops.pallas_kernels import _fused_mha_plan
+
+    assert _fused_mha_plan(4, 50, 768, 7) is None      # W % heads != 0
+    assert _fused_mha_plan(4, 50, 768, 4) is None      # head_dim 192 > 128
+    assert _fused_mha_plan(4, 50, 640, 10) is not None  # hd=64: 2 heads/step
+
+
 def test_channel_moments_matches_numpy():
     from semantic_abstraction_tpu.ops.pallas_kernels import channel_moments
 
