@@ -147,12 +147,20 @@ class VoxelGrid:
             wide = jnp.where(
                 onehot[:, :, None], feats[:, None, :].astype(feats.dtype), fill
             ).reshape(-1, 128)
+            # Both post-reduction fixups run on the WIDE (rows, 128) form.
+            # The previous ``.reshape(-1, channels)``-first formulation
+            # materialized a (batch*nv, C) narrow f32 tensor that XLA lays
+            # out T(8,128) — 128/C x lane padding (a 1.0 GB buffer for
+            # 128 MB of data at the 128^3/C=16 train shape) plus a
+            # relayout pass on both sides.
             if reduce_method == "max":
                 out_wide = jax.ops.segment_max(wide, rows, num_segments=num_rows)
-                out = out_wide.reshape(-1, channels)
-                out = jnp.where(jnp.isneginf(out[:, :1]), 0.0, out).astype(
-                    feats.dtype
-                )
+                # point features are finite, so a column is -inf iff its
+                # bin got no points (the reduction identity) — the
+                # empty-bin zero fix is elementwise on the wide form
+                out_wide = jnp.where(
+                    jnp.isneginf(out_wide), 0.0, out_wide
+                ).astype(feats.dtype)
             else:
                 sums = jax.ops.segment_sum(wide, rows, num_segments=num_rows)
                 # broadcast the bin one-hot over the channel axis so each
@@ -166,11 +174,11 @@ class VoxelGrid:
                     .reshape(-1, 128)
                 )
                 counts = jax.ops.segment_sum(ones, rows, num_segments=num_rows)
-                out = (
-                    sums.reshape(-1, channels)
-                    / jnp.maximum(counts.reshape(-1, channels), 1.0)
-                )
-            out = out[: batch * nv]
+                out_wide = sums / jnp.maximum(counts, 1.0)
+            # rows are pack consecutive bins: (batch*nv/pack, pack*C) is the
+            # row-major (batch*nv, C) view — slice the trash row and let the
+            # single reshape below pick the consumer's layout directly
+            out = out_wide[: batch * nv // pack].reshape(-1, channels)
         else:
             num_segments = batch * nv + (1 if valid_mask is not None else 0)
             if reduce_method == "max":
