@@ -175,17 +175,27 @@ def cmd_dataset(args):
             mean_map = maps.mean(axis=0, keepdims=True)
             maps = np.concatenate([maps, mean_map], axis=0)
             feats = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
-            # downsample maps for storage parity with the reference's
-            # relevancy_shape (stored at reduced res, resized at read)
-            if args.store_shape:
-                from ..data.transforms import resize_bilinear_np
-
-                maps = resize_bilinear_np(maps, tuple(args.store_shape)).astype(
-                    np.float32
-                )
             prefix = f"data/saliencies/{rgb_key}|{args.saliency_config}"
             with FileLock(str(path) + ".lock"):
                 with h5py.File(path, "a") as f:
+                    # downsample maps for storage parity with the
+                    # reference's relevancy_shape (stored at reduced res,
+                    # resized back to image shape at read). A scene file
+                    # whose schema already fixes the store shape (datagen
+                    # preallocates `saliencies`, data/hdf5.py) wins over
+                    # --store-shape: appends must match the dataset.
+                    store_shape = (
+                        tuple(f["saliencies"].shape[1:])
+                        if "saliencies" in f
+                        else (tuple(args.store_shape) if args.store_shape
+                              else None)
+                    )
+                    if store_shape and maps.shape[1:] != store_shape:
+                        from ..data.transforms import resize_bilinear_np
+
+                        maps = resize_bilinear_np(maps, store_shape).astype(
+                            np.float32
+                        )
                     if prefix in f:
                         del f[prefix]
                     for suffix in ("|saliency_text_labels",
@@ -242,7 +252,13 @@ def cmd_dataset(args):
                 )
                 results.append((rgb_key, (maps_dev, feats_dev)))
             if pending is not None:
-                write_out(pending)
+                job, pending = pending, None
+                try:
+                    write_out(job)
+                except Exception:
+                    failures += 1
+                    logging.exception("scene %s write failed; continuing",
+                                      job[0].name)
             pending = (path, all_labels, results)
             logging.info("[%d/%d] %s: %d labels", si + 1, len(scene_files),
                          path.name, len(all_labels))
@@ -250,7 +266,11 @@ def cmd_dataset(args):
             failures += 1
             logging.exception("scene %s failed; continuing", path.name)
     if pending is not None:
-        write_out(pending)
+        try:
+            write_out(pending)
+        except Exception:
+            failures += 1
+            logging.exception("scene %s failed; continuing", pending[0].name)
     if failures:
         logging.warning("%d scene(s) failed and were skipped", failures)
 

@@ -138,7 +138,12 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int):
 
 
 def _fused_mha_plan(b: int, t: int, w: int, num_heads: int):
-    """Pick (batch_block, heads_per_step) or None if the kernel can't run."""
+    """Pick (batch_block, heads_per_step, padded_batch) or None if the
+    kernel can't run. ``padded_batch > b`` means the impl zero-pads the
+    batch axis (kernel-local: callers' surrounding matmuls stay exact
+    size) — a batch that only divides by tiny blocks (e.g. 90 -> bb=2)
+    ran a 45-step grid of (2, t, 128) blocks, measurably slower than
+    padding to one more 32-row block."""
     if w % num_heads:
         return None
     hd = w // num_heads
@@ -148,7 +153,12 @@ def _fused_mha_plan(b: int, t: int, w: int, num_heads: int):
     # 4 VMEM blocks of (bb, t, 128); keep them under ~4 MB total
     for bb in (128, 64, 32, 16, 8, 4, 2, 1):
         if b % bb == 0 and bb * t * 128 * 4 * 4 <= 4 * 2**20:
-            return bb, hps
+            if bb >= 8 or b <= 16:
+                return bb, hps, b
+            break
+    for bb in (32, 16, 8):
+        if bb * t * 128 * 4 * 4 <= 4 * 2**20:
+            return bb, hps, -(-b // bb) * bb
     return None
 
 
@@ -158,20 +168,24 @@ def _fused_mha_impl(q, k, v, num_heads, interpret):
     on_tpu = jax.default_backend() == "tpu"
     if plan is None or not (on_tpu or interpret):
         return mha_reference(q, k, v, num_heads)
-    bb, hps = plan
+    bb, hps, bp = plan
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     hd = w // num_heads
     kernel = functools.partial(
         _fused_mha_kernel, heads_per_step=hps, head_dim=hd, scale=hd**-0.5
     )
     spec = pl.BlockSpec((bb, t, hps * hd), lambda bi, hi: (bi, 0, hi))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b // bb, num_heads // hps),
+        grid=(bp // bb, num_heads // hps),
         in_specs=[spec] * 3,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, t, w), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, t, w), q.dtype),
         interpret=interpret,
     )(q, k, v)
+    return out[:b] if bp != b else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -83,3 +83,37 @@ def test_dataset_command_roundtrip(tmp_path):
         "--saliency_config", "chefer_et_al", "--compute_dtype", "float32",
     ])
     assert os.path.getmtime(str(scene)) == before
+
+
+def test_dataset_command_preallocated_store_shape(tmp_path):
+    """A scene whose schema already fixes the `saliencies` store shape
+    (the datagen CLI preallocates it at relevancy_shape) wins over any
+    --store-shape: the writer downsamples to match instead of crashing
+    on the append-shape assert."""
+    from semantic_abstraction_tpu.cli import generate_relevancy
+    from semantic_abstraction_tpu.data import DataConfig, SceneCompletionDataset
+
+    rs = np.random.RandomState(2)
+    scene = tmp_path / "FloorPlan1_physics_0.hdf5"
+    make_scene(scene, rs, h=32, w=32, rel_h=16, rel_w=16)
+    with h5py.File(str(scene), "a") as f:
+        del f["data/saliencies"]  # regenerate refs, keep the empty dataset
+        assert f["saliencies"].shape[1:] == (16, 16)
+
+    generate_relevancy.main([
+        "dataset", str(tmp_path), "--random-weights",
+        "--saliency_config", "chefer_et_al", "--compute_dtype", "float32",
+    ])
+    with h5py.File(str(scene), "r") as f:
+        assert f["saliencies"].shape[1:] == (16, 16)
+        ref = f["data/saliencies/rgb|chefer_et_al"][0]
+        assert np.array(f["saliencies"][ref]).shape[1:] == (16, 16)
+
+    ds = SceneCompletionDataset(
+        str(tmp_path), [scene.name],
+        DataConfig(num_input_pts=64, num_output_pts=64,
+                   saliency_config="chefer_et_al",
+                   domain_randomization=False),
+    )
+    s = ds[0]
+    assert np.isfinite(s["input_feature_pts"]).all()

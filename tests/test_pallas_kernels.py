@@ -90,6 +90,26 @@ def test_fused_mha_plan_rejects_unsupported():
     assert _fused_mha_plan(4, 50, 768, 7) is None      # W % heads != 0
     assert _fused_mha_plan(4, 50, 768, 4) is None      # head_dim 192 > 128
     assert _fused_mha_plan(4, 50, 640, 10) is not None  # hd=64: 2 heads/step
+    # awkward batches pad up to a >= 8-row block instead of running a
+    # tiny-block grid (90 only divides by 2 below 45)
+    bb, _, bp = _fused_mha_plan(90, 50, 768, 12)
+    assert bb >= 8 and bp % bb == 0 and bp >= 90
+
+
+def test_fused_mha_padded_batch_matches_reference():
+    """b=90 (divides only by tiny blocks) takes the kernel-local pad path."""
+    from semantic_abstraction_tpu.ops.pallas_kernels import (
+        fused_mha, mha_reference,
+    )
+
+    rs = np.random.RandomState(7)
+    b, t, w, heads = 90, 10, 256, 4
+    q, k, v = (jnp.asarray(rs.randn(b, t, w).astype(np.float32))
+               for _ in range(3))
+    out_k = fused_mha(q, k, v, heads, True)
+    out_r = mha_reference(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-4, rtol=2e-4)
 
 
 def test_channel_moments_matches_numpy():
