@@ -79,6 +79,35 @@ def test_encode_text_parity(models):
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
 
 
+def test_transformer_forward_need_probs_paths_agree(models):
+    """The fused no-probs scan (Pallas kernel forced via interpret mode)
+    produces the same output as the probs-returning scan."""
+    from unittest import mock
+
+    from semantic_abstraction_tpu.clip.model import transformer_forward
+    from semantic_abstraction_tpu.ops import pallas_kernels
+
+    _, params = models
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 17, SMALL.vision_width)), jnp.float32)
+    out_probs, probs = transformer_forward(
+        params["visual"]["blocks"], x, SMALL.vision_heads, need_probs=True
+    )
+    assert probs is not None
+    orig = pallas_kernels.fused_mha
+
+    def fused_interpret(q, k, v, num_heads, interpret=False):
+        return orig(q, k, v, num_heads, True)
+
+    with mock.patch.object(pallas_kernels, "fused_mha", fused_interpret):
+        out_fast, none_probs = transformer_forward(
+            params["visual"]["blocks"], x, SMALL.vision_heads, need_probs=False
+        )
+    assert none_probs is None
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_probs),
+                               atol=2e-4, rtol=1e-3)
+
+
 def _torch_interpret(ref_model, pixels, zw, num_layers, positive_attn_only=True):
     """Torch oracle reproducing clip_gradcam.interpret (clip_gradcam.py:70-132)
     via autograd on the reference hooked model, generalized so the head-mean
