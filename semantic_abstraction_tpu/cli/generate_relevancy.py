@@ -57,7 +57,8 @@ def build_saliency(args):
         params = init_clip_params(jax.random.PRNGKey(0), cfg)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     return ClipSaliency(params, cfg, compute_dtype=dtype,
-                        tile_batch_size=args.tile_batch_size)
+                        tile_batch_size=args.tile_batch_size,
+                        label_bucket=getattr(args, "label_bucket", 0))
 
 
 def cmd_image(args):
@@ -303,6 +304,12 @@ def main(argv=None):
     pd.add_argument("--overwrite", action="store_true")
     pd.add_argument("--include-domain-randomized", action="store_true")
     pd.add_argument("--store-shape", type=int, nargs=2, default=None)
+    pd.add_argument(
+        "--label-bucket", dest="label_bucket", type=int, default=4,
+        help="pad each scene's label count up to this multiple so the "
+             "jitted extractor compiles once per bucket instead of once "
+             "per distinct label count (0 = exact shapes)",
+    )
     add_common(pd)
 
     args = parser.parse_args(argv)

@@ -352,6 +352,7 @@ class ClipSaliency:
         prompt_batch_size: int = 32,
         accum_chunk: int = 16,
         num_layers: int = 10,
+        label_bucket: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -360,6 +361,14 @@ class ClipSaliency:
         self.prompt_batch_size = prompt_batch_size
         self.accum_chunk = accum_chunk
         self.num_layers = num_layers
+        # label_bucket > 0 pads the label axis up to a multiple before the
+        # jitted extraction and slices the pad off after. The saliency
+        # programs are compiled per (shape, num_labels); a dataset sweep
+        # whose scenes carry 10-60 labels each would otherwise pay a
+        # 20-60 s remote compile for EVERY distinct label count. Per-label
+        # gradcam is independent (one VJP per label logit), so zero-weight
+        # pad labels cannot perturb real ones. 0 = exact (demo/bench).
+        self.label_bucket = label_bucket
         self._text_jit = jax.jit(
             lambda tokens: encode_text(params["text"], tokens, cfg, jnp.float32)
         )
@@ -376,8 +385,13 @@ class ClipSaliency:
     def text_features(self, texts: Sequence[str]) -> jax.Array:
         """Raw (unnormalized) CLIP text features, (N, E). Reference
         ClipWrapper.get_clip_text_feature (__init__.py:78-89)."""
-        tokens = jnp.asarray(tokenize(list(texts)))
-        return self._text_jit(tokens)
+        tokens = np.asarray(tokenize(list(texts)))
+        n = tokens.shape[0]
+        if self.label_bucket and n % self.label_bucket:
+            # bound text-encoder compiles the same way as the extractor's
+            # label axis (all-zero token rows are discarded after encode)
+            tokens = np.pad(tokens, ((0, (-n) % self.label_bucket), (0, 0)))
+        return self._text_jit(jnp.asarray(tokens))[:n]
 
     def zeroshot_weights(self, labels: Sequence[str],
                          templates: Sequence[str]) -> jax.Array:
@@ -480,12 +494,20 @@ class ClipSaliency:
             prompts = IMAGENET_TEMPLATES  # reference generate_relevancy.py:73-79
         label_feats = self.text_features(list(text_labels))
         zw = self.zeroshot_weights(list(text_labels), list(prompts))
-        maps = self._saliency_convolve(img, zw, config, key)
+        n_labels = zw.shape[1]
+        if self.label_bucket and n_labels % self.label_bucket:
+            zw = jnp.pad(zw, ((0, 0), (0, (-n_labels) % self.label_bucket)))
+        maps = self._saliency_convolve(img, zw, config, key)[:n_labels]
         if len(distractor_labels):
             extra = [d for d in distractor_labels if d not in set(text_labels)]
             if extra:
                 dzw = self.zeroshot_weights(extra, list(prompts))
-                dmaps = self._saliency_convolve(img, dzw, config, key)
+                nd = dzw.shape[1]
+                if self.label_bucket and nd % self.label_bucket:
+                    dzw = jnp.pad(
+                        dzw, ((0, 0), (0, (-nd) % self.label_bucket))
+                    )
+                dmaps = self._saliency_convolve(img, dzw, config, key)[:nd]
                 # subtract in f32 (reference casts canvases with .float()
                 # before the distractor mean, CLIP/clip/__init__.py);
                 # differencing nearly-equal f16 maps loses precision

@@ -138,6 +138,34 @@ def test_saliency_end_to_end_shapes(tiny_saliency):
     assert (np.abs(m) > 0).any()
 
 
+def test_label_bucket_matches_exact(tiny_saliency):
+    """label_bucket pads the label axis up to a multiple and slices back;
+    per-label gradcam is independent so results are identical."""
+    rs = np.random.RandomState(4)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16),), horizontal_flipping=False, augmentations=0,
+    )
+    labels = ["chair", "table", "sofa"]
+    bucketed = ClipSaliency(
+        tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
+        accum_chunk=4, num_layers=0, label_bucket=4,
+    )
+    maps_b, feats_b = bucketed.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
+    )
+    maps_e, feats_e = tiny_saliency.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
+    )
+    assert maps_b.shape == (3, 64, 96) and feats_b.shape == (3, 32)
+    np.testing.assert_allclose(np.asarray(feats_b), np.asarray(feats_e),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(maps_b, np.float32), np.asarray(maps_e, np.float32),
+        atol=1e-3, rtol=1e-3,
+    )
+
+
 @pytest.mark.parametrize("hw,ts,stride,n_images", [
     ((48, 64), 32, 8, 1),       # ts = 4*stride (standard config shape)
     ((48, 64), 30, 8, 2),       # ts not a multiple of stride (partial block)
