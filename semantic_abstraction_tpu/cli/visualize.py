@@ -182,10 +182,16 @@ def _restore_net(args, task):
     init_fn = APPROACHES[(task, approach)][1]
     params = init_fn(jax.random.PRNGKey(0), cfg)
     if args.load:
-        tx = make_optimizer()
-        state = init_train_state(params, tx)
-        state, _, _ = load_checkpoint(args.load, state)
-        params = state.params
+        if args.load.endswith((".pth", ".pt")):
+            # reference torch checkpoint (released models.tar.lz4 layout)
+            from ..models.convert import load_torch_net_checkpoint
+
+            params, _ = load_torch_net_checkpoint(args.load, task, approach)
+        else:
+            tx = make_optimizer()
+            state = init_train_state(params, tx)
+            state, _, _ = load_checkpoint(args.load, state)
+            params = state.params
     else:
         logging.warning("no --load checkpoint: using random weights")
     return cfg, params, approach

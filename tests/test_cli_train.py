@@ -51,6 +51,57 @@ TINY_ARGS = [
 ]
 
 
+def test_eval_loads_reference_pth_directly(dataset_dir, tmp_path):
+    """`eval --load <...>.pth` consumes a released-format torch checkpoint
+    (reference models.tar.lz4 layout: <dir>/{args.pkl, ovssc.pth}) by
+    converting the weights in place."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from ref_oracle import ref_net_module
+
+    refnet = ref_net_module()
+    import torch
+
+    from semantic_abstraction_tpu.cli import common, eval as eval_cli
+
+    torch.manual_seed(0)
+    net = refnet.SemAbs3D(
+        voxel_shape=(16, 16, 16),
+        scene_bounds=((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9)),
+        network_inputs=["saliency"],
+        use_pts_feat_extractor=True,
+        pts_feat_extractor_hidden_dim=16,
+        reduce_method="max",
+        decoder_concat_xyz_pts=True,
+        batch_size=1,
+        device="cpu",
+        unet_num_channels=8,
+        unet_f_maps=4,
+        unet_num_groups=2,
+        unet_num_levels=3,
+    ).eval()
+    mdir = tmp_path / "models" / "ours" / "ovssc"
+    os.makedirs(mdir)
+    torch.save({"net": net.state_dict(), "epochs": 7},
+               str(mdir / "ovssc.pth"))
+    # args.pkl in the released layout: the training flags of the checkpoint
+    args = common.config_parser().parse_args(
+        ["--file_path", str(dataset_dir)] + TINY_ARGS)
+    common.save_args(str(mdir), args)
+
+    eval_cli.main([
+        "--task", "ovssc", "--load", str(mdir / "ovssc.pth"),
+        "--file_path", str(dataset_dir), "--num_workers", "0",
+        "--max_batches", "1",
+    ])
+    stats = mdir / "ovssc_eval_stats.pkl"
+    assert stats.exists()
+    with open(stats, "rb") as f:
+        df = pickle.load(f)
+    assert len(df) > 0
+
+
 def test_train_ovssc_semantic_aware(dataset_dir, tmp_path):
     from semantic_abstraction_tpu.cli import train_ovssc
 
