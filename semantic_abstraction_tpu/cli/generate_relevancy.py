@@ -36,6 +36,10 @@ DEFAULT_LABELS = [
     "wall",
 ]
 DEFAULT_PROMPT = "a photograph of a {} in a home."
+# the dataset writer's default for simulator corpora; real-photo sets
+# (matterport/nyu in the path) auto-switch to DEFAULT_PROMPT
+# (reference generate_relevancy.py:154-158)
+THOR_PROMPT = "a render of a {} in a game engine."
 
 
 def build_saliency(args):
@@ -73,6 +77,8 @@ def cmd_image(args):
     img = img[..., :3]
     assert img.dtype == np.uint8
     sal = build_saliency(args)
+    if args.prompt is None:
+        args.prompt = DEFAULT_PROMPT  # reference image-command default
     config = saliency_configs[args.saliency_config](img.shape[0])
     start = time.time()
     grads, _ = sal.get_clip_saliency(
@@ -158,6 +164,13 @@ def cmd_dataset(args):
     from ..data.hdf5 import deref_h5py, resize_and_add_data
 
     sal = build_saliency(args)
+    if args.prompt is None:
+        # reference generate_relevancy.py:154-158: game-engine prompt for
+        # simulator corpora, photo prompt for real-photo sets
+        real_photos = ("matterport" in args.file_path
+                       or "nyu" in args.file_path)
+        args.prompt = DEFAULT_PROMPT if real_photos else THOR_PROMPT
+        logging.info("prompt: %r", args.prompt)
     scene_files = sorted(Path(args.file_path).glob("**/*.hdf5"))
     scene_files = scene_files[args.shard_id :: args.num_shards]
     logging.info("processing %d scenes", len(scene_files))
@@ -288,7 +301,12 @@ def main(argv=None):
         p.add_argument("--tile_batch_size", type=int, default=32)
         p.add_argument("--saliency_config", choices=["ours", "chefer_et_al"],
                        default="ours")
-        p.add_argument("--prompt", type=str, default=DEFAULT_PROMPT)
+        p.add_argument(
+            "--prompt", type=str, default=None,
+            help="CLIP prompt template; dataset default auto-selects "
+                 "the game-engine prompt for THOR and the photo prompt "
+                 "for matterport/nyu paths (reference :154-158)",
+        )
         p.add_argument("--seed", type=int, default=0)
 
     pi = sub.add_parser("image", help="single-image relevancy demo")
