@@ -188,7 +188,11 @@ def cmd_dataset(args):
             feats = np.asarray(feats_dev, np.float32)
             mean_map = maps.mean(axis=0, keepdims=True)
             maps = np.concatenate([maps, mean_map], axis=0)
-            feats = np.concatenate([feats, np.zeros_like(feats[:1])], axis=0)
+            # mean row = mean of the RAW features; everything normalized
+            # at write (reference generate_relevancy.py:108-118)
+            feats = np.concatenate([feats, feats.mean(axis=0, keepdims=True)],
+                                   axis=0)
+            feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
             prefix = f"data/saliencies/{rgb_key}|{args.saliency_config}"
             with FileLock(str(path) + ".lock"):
                 with h5py.File(path, "a") as f:
@@ -205,11 +209,14 @@ def cmd_dataset(args):
                               else None)
                     )
                     if store_shape and maps.shape[1:] != store_shape:
-                        from ..data.transforms import resize_bilinear_np
+                        # nearest-exact, matching the reference's store-time
+                        # interpolate (generate_relevancy.py:96-104); the
+                        # READ path upsamples bilinearly on both sides
+                        from ..data.transforms import resize_nearest_exact_np
 
-                        maps = resize_bilinear_np(maps, store_shape).astype(
-                            np.float32
-                        )
+                        maps = resize_nearest_exact_np(
+                            maps, store_shape
+                        ).astype(np.float32)
                     if prefix in f:
                         del f[prefix]
                     for suffix in ("|saliency_text_labels",

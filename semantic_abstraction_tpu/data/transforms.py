@@ -237,6 +237,21 @@ def resize_bilinear_np(maps: np.ndarray, out_hw) -> np.ndarray:
     return np.einsum("...ow,pw->...op", out, cm)
 
 
+def resize_nearest_exact_np(maps: np.ndarray, out_hw) -> np.ndarray:
+    """(..., H, W) nearest-exact resize, matching torch
+    ``F.interpolate(mode="nearest-exact")``: src = floor((dst+0.5)*in/out),
+    clamped. The reference stores relevancies downsampled this way
+    (generate_relevancy.py:96-104)."""
+    h, w = maps.shape[-2], maps.shape[-1]
+    ri = np.minimum(
+        ((np.arange(out_hw[0]) + 0.5) * (h / out_hw[0])).astype(np.int64), h - 1
+    )
+    ci = np.minimum(
+        ((np.arange(out_hw[1]) + 0.5) * (w / out_hw[1])).astype(np.int64), w - 1
+    )
+    return maps[..., ri[:, None], ci[None, :]]
+
+
 def balanced_subsample_probabilities(labels_row: np.ndarray) -> np.ndarray:
     """Per-patch positive/negative balancing weights
     (reference dataset.py:903-935)."""

@@ -64,6 +64,13 @@ def test_dataset_command_roundtrip(tmp_path):
             f["data/saliencies/rgb|chefer_et_al|saliency_text_label_features"]
         )
         assert feats.shape == (len(labels), 512)
+        # features stored unit-norm, mean row = normalized mean feature
+        # (reference generate_relevancy.py:108-118)
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5
+        )
+        mean_row = feats[list(labels).index("mean")]
+        assert not np.allclose(mean_row, 0.0)
 
     # the OVSSC reader consumes the CLI's output directly
     ds = SceneCompletionDataset(

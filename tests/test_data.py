@@ -253,3 +253,19 @@ def test_compute_empty_mask_and_balanced_subsample():
     idx = balanced_class_subsample(seg, 20, rs)
     # balancing should draw roughly half from the rare class
     assert (seg[idx] == 1).sum() >= 5
+
+
+def test_resize_nearest_exact_matches_torch():
+    import torch
+
+    from semantic_abstraction_tpu.data.transforms import resize_nearest_exact_np
+
+    rs = np.random.RandomState(0)
+    for in_hw, out_hw in [((48, 64), (24, 32)), ((33, 47), (12, 16)),
+                          ((16, 16), (24, 24))]:
+        maps = rs.randn(3, *in_hw).astype(np.float32)
+        got = resize_nearest_exact_np(maps, out_hw)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(maps)[:, None], size=out_hw, mode="nearest-exact"
+        )[:, 0].numpy()
+        np.testing.assert_array_equal(got, ref)
