@@ -147,10 +147,13 @@ def _scene_labels(f, use_gt=True):
         labels.update(r.tolist())
         for a, b, c in zip(t, rel, r):
             sentences.add(f"{a} {b} a {c}")
-            if any(s in (a, b) for s in SYNONYMS):
-                sentences.add(
-                    f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}"
-                )
+            # synonym-mapped sentence always added (reference
+            # generate_relevancy.py:301-329; identical ones collapse in
+            # the set). The previous guard tested the RELATION against
+            # the synonym keys, silently dropping sentences whose only
+            # synonym was the reference object — the novel-vocab split
+            # would then miss those description saliencies.
+            sentences.add(f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}")
     labels.update(SYNONYMS[l] for l in list(labels) if l in SYNONYMS)
     return sorted(labels) + sorted(sentences)
 

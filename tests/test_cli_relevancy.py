@@ -124,3 +124,20 @@ def test_dataset_command_preallocated_store_shape(tmp_path):
     )
     s = ds[0]
     assert np.isfinite(s["input_feature_pts"]).all()
+
+
+def test_scene_labels_reference_object_synonym(tmp_path):
+    """A description whose ONLY synonym is on the reference object still
+    yields the synonym-mapped sentence (reference :301-329 always maps
+    both ends; a prior guard tested the relation against the keys)."""
+    from semantic_abstraction_tpu.cli.generate_relevancy import _scene_labels
+
+    scene = tmp_path / "FloorPlan1_physics_0.hdf5"
+    # classes: chair (no synonym) on a television (-> tv)
+    make_scene(scene, np.random.RandomState(3),
+               classes=("chair", "television"), num_descs=1)
+    with h5py.File(str(scene), "r") as f:
+        labels = _scene_labels(f)
+    assert "chair on a television" in labels
+    assert "chair on a tv" in labels
+    assert "tv" in labels  # object-name synonym
