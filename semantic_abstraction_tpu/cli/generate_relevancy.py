@@ -129,12 +129,12 @@ def _scene_labels(f, use_gt=True):
         ) - {-1}
         for objid in visible:
             if 0 <= objid < len(object_labels):
-                name = object_labels[objid].split("[")[0]
+                name = object_labels[objid].split("[")[0].strip()
                 if name not in {"empty", "out of bounds", "unlabelled"}:
                     labels.add(name)
     else:
         for lab in object_labels:
-            name = lab.split("[")[0]
+            name = lab.split("[")[0].strip()
             if name not in {"empty", "out of bounds", "unlabelled"}:
                 labels.add(name)
     sentences = set()
@@ -155,7 +155,10 @@ def _scene_labels(f, use_gt=True):
             # would then miss those description saliencies.
             sentences.add(f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}")
     labels.update(SYNONYMS[l] for l in list(labels) if l in SYNONYMS)
-    return sorted(labels) + sorted(sentences)
+    # one flat sort over objects AND sentences — the reference sorts the
+    # combined set (generate_relevancy.py:346), and the stored label array
+    # should be byte-identical for the same scene
+    return sorted(labels | sentences)
 
 
 def cmd_dataset(args):
