@@ -189,6 +189,7 @@ def cmd_dataset(args):
         scene's extraction is already dispatched on the device (the axon
         readback is ~40% of per-scene wall when serialized)."""
         path, all_labels, results = job
+        first_key = results[0][0] if results else None
         for rgb_key, (maps_dev, feats_dev) in results:
             maps = np.asarray(maps_dev, np.float32)
             feats = np.asarray(feats_dev, np.float32)
@@ -202,6 +203,36 @@ def cmd_dataset(args):
             prefix = f"data/saliencies/{rgb_key}|{args.saliency_config}"
             with FileLock(str(path) + ".lock"):
                 with h5py.File(path, "a") as f:
+                    # A rewrite appends rows but only replaces the refs, so
+                    # old rows leak AND the readers' ABSOLUTE 'mean' row
+                    # lookup (a reference quirk both sides reproduce,
+                    # dataset.py:824-834) would hit a stale map. When every
+                    # existing saliency group belongs to the keys being
+                    # rewritten, start the dataset over from row 0; with
+                    # foreign groups (another config's refs point into the
+                    # rows) fall back to reference append semantics.
+                    if (rgb_key == first_key and "saliencies" in f
+                            and f["saliencies"].shape[0]):
+                        rewriting = {
+                            f"{k}|{args.saliency_config}" for k, _ in results
+                        }
+                        existing = set(f.get("data/saliencies", {}))
+                        existing -= {
+                            e for e in existing
+                            if e.split("|saliency_text_")[0] in rewriting
+                        }
+                        if not existing:
+                            f["saliencies"].resize(
+                                (0,) + f["saliencies"].shape[1:]
+                            )
+                        else:
+                            logging.warning(
+                                "%s: appending saliency rows after foreign "
+                                "groups (%s); the readers' absolute 'mean' "
+                                "row will resolve to the FIRST group's map "
+                                "(reference quirk)", path.name,
+                                sorted(existing)[:3],
+                            )
                     # downsample maps for storage parity with the
                     # reference's relevancy_shape (stored at reduced res,
                     # resized back to image shape at read). A scene file

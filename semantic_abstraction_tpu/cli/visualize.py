@@ -151,7 +151,6 @@ def _restore_net(args, task):
     import jax
 
     from . import common
-    from ..runtime.checkpoint import load_checkpoint
     from ..runtime.experiment import APPROACHES, model_cfg_from_args
     from ..runtime.train import init_train_state, make_optimizer
 
@@ -182,16 +181,12 @@ def _restore_net(args, task):
     init_fn = APPROACHES[(task, approach)][1]
     params = init_fn(jax.random.PRNGKey(0), cfg)
     if args.load:
-        if args.load.endswith((".pth", ".pt")):
-            # reference torch checkpoint (released models.tar.lz4 layout)
-            from ..models.convert import load_torch_net_checkpoint
+        # handles both our flax checkpoints and reference .pth directly
+        from ..runtime.checkpoint import load_net_checkpoint
 
-            params, _ = load_torch_net_checkpoint(args.load, task, approach)
-        else:
-            tx = make_optimizer()
-            state = init_train_state(params, tx)
-            state, _, _ = load_checkpoint(args.load, state)
-            params = state.params
+        state = init_train_state(params, make_optimizer())
+        state, _ = load_net_checkpoint(args.load, state, task, approach)
+        params = state.params
     else:
         logging.warning("no --load checkpoint: using random weights")
     return cfg, params, approach

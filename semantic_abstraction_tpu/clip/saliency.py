@@ -372,7 +372,6 @@ class ClipSaliency:
         self._text_jit = jax.jit(
             lambda tokens: encode_text(params["text"], tokens, cfg, jnp.float32)
         )
-        self._gradcam_jit = {}
         self._jitter_jit = jax.jit(jax.vmap(color_jitter, in_axes=(0, None)))
         self._extract_jit = {}
         self._accum_jit = {}
@@ -381,6 +380,14 @@ class ClipSaliency:
         self._combine_jit = {}
 
     # -- text ---------------------------------------------------------------
+
+    def _pad_label_bucket(self, zw: jax.Array) -> jax.Array:
+        """Pad the label axis of (E, L) zeroshot weights up to a multiple
+        of ``label_bucket`` (0 = exact); callers slice outputs back."""
+        l = zw.shape[1]
+        if self.label_bucket and l % self.label_bucket:
+            zw = jnp.pad(zw, ((0, 0), (0, (-l) % self.label_bucket)))
+        return zw
 
     def text_features(self, texts: Sequence[str]) -> jax.Array:
         """Raw (unnormalized) CLIP text features, (N, E). Reference
@@ -429,23 +436,6 @@ class ClipSaliency:
 
     # -- relevancy ----------------------------------------------------------
 
-    def _gradcam_batch(self, tiles: jax.Array, zw: jax.Array,
-                       positive_attn_only: bool) -> jax.Array:
-        """(B, 3, R, R) x (E, L) -> (L, B, 7, 7); jit cached per shape."""
-        sig = (tiles.shape, zw.shape, positive_attn_only)
-        if sig not in self._gradcam_jit:
-            self._gradcam_jit[sig] = jax.jit(
-                functools.partial(
-                    gradcam_label_chunked,
-                    prompt_batch_size=self.prompt_batch_size,
-                    cfg=self.cfg,
-                    num_layers=self.num_layers,
-                    positive_attn_only=positive_attn_only,
-                    compute_dtype=self.compute_dtype,
-                )
-            )
-        return self._gradcam_jit[sig](self.params["visual"], tiles, zw)
-
     def _accumulate(self, rel: jax.Array, plan: ScalePlan,
                     hw: Tuple[int, int], n_images: int) -> jax.Array:
         """(L, I*ny*nx, g, g) tile relevancies -> (L, H, W) canvas sum.
@@ -492,22 +482,24 @@ class ClipSaliency:
             key = jax.random.PRNGKey(0)
         if config.imagenet_prompt_ensemble:
             prompts = IMAGENET_TEMPLATES  # reference generate_relevancy.py:73-79
-        label_feats = self.text_features(list(text_labels))
         zw = self.zeroshot_weights(list(text_labels), list(prompts))
         n_labels = zw.shape[1]
-        if self.label_bucket and n_labels % self.label_bucket:
-            zw = jnp.pad(zw, ((0, 0), (0, (-n_labels) % self.label_bucket)))
-        maps = self._saliency_convolve(img, zw, config, key)[:n_labels]
+        # returned text features are the PROMPT-ENSEMBLED zeroshot features
+        # (reference stacks class_to_language_feature, __init__.py:117-121)
+        # — NOT raw encode_text outputs; ClipWrapper.get_clip_text_feature
+        # (our .text_features) is the raw variant
+        label_feats = zw.T
+        maps = self._saliency_convolve(
+            img, self._pad_label_bucket(zw), config, key
+        )[:n_labels]
         if len(distractor_labels):
             extra = [d for d in distractor_labels if d not in set(text_labels)]
             if extra:
                 dzw = self.zeroshot_weights(extra, list(prompts))
                 nd = dzw.shape[1]
-                if self.label_bucket and nd % self.label_bucket:
-                    dzw = jnp.pad(
-                        dzw, ((0, 0), (0, (-nd) % self.label_bucket))
-                    )
-                dmaps = self._saliency_convolve(img, dzw, config, key)[:nd]
+                dmaps = self._saliency_convolve(
+                    img, self._pad_label_bucket(dzw), config, key
+                )[:nd]
                 # subtract in f32 (reference casts canvases with .float()
                 # before the distractor mean, CLIP/clip/__init__.py);
                 # differencing nearly-equal f16 maps loses precision
@@ -554,7 +546,7 @@ class ClipSaliency:
         # cost).
         bs = min(self.tile_batch_size, n)
         if n > bs:
-            lo, hi = bs // 2, bs + bs // 2
+            lo, hi = max(1, bs // 2), bs + bs // 2
             divisors = [d for d in range(lo, hi + 1) if n % d == 0]
             if divisors:
                 bs = max(divisors)

@@ -78,3 +78,21 @@ def load_params_only(path: str, params_template):
     return jax.tree_util.tree_map(
         lambda t, v: jax.numpy.asarray(v), params_template, restored
     )
+
+
+def load_net_checkpoint(path: str, state_template, task: str, approach: str):
+    """Restore (state, start_epoch) from either checkpoint format:
+
+    - ``.pth``/``.pt``: a reference torch checkpoint (the released
+      models.tar.lz4 layout) — weights convert in place, optimizer state
+      starts fresh (eval/visualize don't need one and torch has no
+      matching pytree).
+    - anything else: our flax-serialized TrainState.
+    """
+    if path.endswith((".pth", ".pt")):
+        from ..models.convert import load_torch_net_checkpoint
+
+        params, epoch = load_torch_net_checkpoint(path, task, approach)
+        return state_template._replace(params=params), epoch
+    state, epoch, _ = load_checkpoint(path, state_template)
+    return state, epoch

@@ -236,20 +236,11 @@ def setup_experiment(args, task: str, approach: str,
     start_epoch = 0
     if args.load:
         logging.info("loading from %s", args.load)
-        if args.load.endswith((".pth", ".pt")):
-            # a reference torch checkpoint (released models.tar.lz4 layout,
-            # reference README.md:67-116): convert weights in place so
-            # `--load models/ours/ovssc/ovssc.pth` works directly;
-            # optimizer state starts fresh (fine for eval/visualize, and
-            # resume-from-torch has no equivalent optimizer pytree anyway)
-            from ..models.convert import load_torch_net_checkpoint
+        # handles both our flax checkpoints and reference .pth directly
+        from .checkpoint import load_net_checkpoint
 
-            loaded, start_epoch = load_torch_net_checkpoint(
-                args.load, task, approach
-            )
-            state = init_train_state(loaded, tx)
-        else:
-            state, start_epoch, _ = load_checkpoint(args.load, state)
+        state, start_epoch = load_net_checkpoint(args.load, state, task,
+                                                 approach)
     return {
         "splits": splits,
         "datasets": datasets,

@@ -141,3 +141,34 @@ def test_scene_labels_reference_object_synonym(tmp_path):
     assert "chair on a television" in labels
     assert "chair on a tv" in labels
     assert "tv" in labels  # object-name synonym
+
+
+def test_dataset_overwrite_truncates_rows(tmp_path):
+    """--overwrite restarts the saliencies dataset from row 0 when every
+    existing group is being rewritten: the readers fetch the 'mean'
+    relevancy by ABSOLUTE row index (reference quirk, dataset.py:824-834),
+    so append-on-rewrite would silently subtract a stale first-write map
+    (and leak rows)."""
+    from semantic_abstraction_tpu.cli import generate_relevancy
+
+    rs = np.random.RandomState(5)
+    scene = tmp_path / "FloorPlan1_physics_0.hdf5"
+    make_scene(scene, rs, h=32, w=32)
+    _strip_saliencies(str(scene))
+    cli_args = ["dataset", str(tmp_path), "--random-weights",
+                "--saliency_config", "chefer_et_al",
+                "--compute_dtype", "float32"]
+    generate_relevancy.main(cli_args)
+    with h5py.File(str(scene), "r") as f:
+        rows1 = f["saliencies"].shape[0]
+        labels = np.array(
+            f["data/saliencies/rgb|chefer_et_al|saliency_text_labels"]
+        ).astype(str).tolist()
+    generate_relevancy.main(cli_args + ["--overwrite", "--seed", "1"])
+    with h5py.File(str(scene), "r") as f:
+        assert f["saliencies"].shape[0] == rows1  # truncated, not appended
+        mean_idx = labels.index("mean")
+        absolute = np.array(f["saliencies"][mean_idx])
+        ref = f["data/saliencies/rgb|chefer_et_al"][mean_idx]
+        via_ref = np.array(f["saliencies"][ref])[0]
+        np.testing.assert_array_equal(absolute, via_ref)

@@ -192,3 +192,18 @@ def test_composed_text_feature_parity(pipelines):
     )
     got = np.asarray(ours.zeroshot_weights(labels, prompts)).T  # (L, E)
     np.testing.assert_allclose(got, ref_feats, atol=2e-4, rtol=1e-3)
+    # and get_clip_saliency must RETURN those features (the dataset writer
+    # stores its second output verbatim; a raw-encode_text return here once
+    # diverged the |saliency_text_label_features wire format)
+    from semantic_abstraction_tpu.clip.saliency import (
+        CropSpec,
+        SaliencyConfig,
+    )
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+    config = SaliencyConfig(crops=(CropSpec(32, 8),),
+                            horizontal_flipping=False, augmentations=0)
+    _, returned = ours.get_clip_saliency(img, labels, tuple(prompts), config)
+    np.testing.assert_allclose(np.asarray(returned), ref_feats,
+                               atol=2e-4, rtol=1e-3)
