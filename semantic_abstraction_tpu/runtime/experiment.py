@@ -47,10 +47,9 @@ from ..models import (
     init_semantic_aware_vool,
     count_params,
 )
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import save_checkpoint
 from .metrics import detailed_stats_frame, point_and_voxel_stats_jit
 from .train import (
-    FORWARD_LOSS,
     TrainState,
     clipspatial_vool_forward_loss,
     init_train_state,
