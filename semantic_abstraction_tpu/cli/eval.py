@@ -89,6 +89,12 @@ def main(argv=None):
     )
     n_batch = 1 if mesh is None else int(mesh.devices.size)
     n_proc, proc_id = jax.process_count(), jax.process_index()
+    if n_batch < n_proc or n_batch % n_proc:
+        raise SystemExit(
+            f"multi-process eval needs --num_devices (got mesh of {n_batch}) "
+            f"to be a positive multiple of the process count ({n_proc}); "
+            "each process must own >= 1 device's batch slot"
+        )
     all_stats = []
     import contextlib
 

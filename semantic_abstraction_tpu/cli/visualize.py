@@ -106,19 +106,27 @@ def prep_data(args, scene_bounds, approach="semantic_abstraction"):
         )
 
     sal = build_saliency(args)
-    config = saliency_configs[args.saliency_config](rgb.shape[0])
-    maps, _ = sal.get_clip_saliency(
-        rgb, relevancy_keys, ["a photograph of a {} in a home."], config,
-        key=jax.random.PRNGKey(args.seed),
-    )
-    maps = np.asarray(maps) * 50.0
-    if args.subtract_mean:
-        maps = maps - maps.mean(axis=0, keepdims=True)
-
     xyz = depth_to_pointcloud_np(depth, cam_intr, cam_extr)
     in_bounds = filter_pts_bounds_np(xyz, np.asarray(scene_bounds))
     xyz = xyz[in_bounds]
-    flat = {k: maps[i].reshape(-1)[in_bounds] for i, k in enumerate(relevancy_keys)}
+    if approach == "semantic_aware":
+        # semantic_aware consumes RGB points + text features only — the
+        # per-label gradcam sweep (the most expensive stage) would be
+        # discarded, so skip it entirely
+        flat = {}
+    else:
+        config = saliency_configs[args.saliency_config](rgb.shape[0])
+        maps, _ = sal.get_clip_saliency(
+            rgb, relevancy_keys, ["a photograph of a {} in a home."], config,
+            key=jax.random.PRNGKey(args.seed),
+        )
+        maps = np.asarray(maps) * 50.0
+        if args.subtract_mean:
+            maps = maps - maps.mean(axis=0, keepdims=True)
+        flat = {
+            k: maps[i].reshape(-1)[in_bounds]
+            for i, k in enumerate(relevancy_keys)
+        }
     out = {
         "rgb": rgb,
         "depth": depth,

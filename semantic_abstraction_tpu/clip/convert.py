@@ -31,9 +31,9 @@ def _np(x) -> np.ndarray:
 
 def config_from_state_dict(sd) -> ClipConfig:
     if "visual.layer1.0.conv1.weight" in sd:  # ModifiedResNet tower
-        from .resnet import convert_resnet_visual
+        from .resnet import resnet_config_from_state_dict
 
-        _, vcfg = convert_resnet_visual(sd)
+        vcfg = resnet_config_from_state_dict(sd)
         text_width = _np(sd["ln_final.weight"]).shape[0]
         return ClipConfig(
             embed_dim=_np(sd["text_projection"]).shape[1],

@@ -140,14 +140,11 @@ def _bn_params(sd, prefix) -> dict:
     }
 
 
-def convert_resnet_visual(sd: dict, prefix: str = "visual.") -> Tuple[dict, dict]:
-    """torch ModifiedResNet state dict -> (visual pytree, derived config).
-
-    Config derivation mirrors the reference build_model (:549-557):
-    layer counts from the per-stage block keys, width from the stage-1
-    conv1, output_dim from attnpool.c_proj, input resolution from the
-    attention pool's positional-embedding length.
-    """
+def resnet_config_from_state_dict(sd: dict, prefix: str = "visual.") -> dict:
+    """Derive the ModifiedResNet config from state-dict keys/shapes only
+    (reference build_model :549-557) — no weight conversion, so callers
+    that only need the config (clip.convert.config_from_state_dict) skip
+    the ~100 MB transpose pass."""
     counts = []
     for stage in range(1, 5):
         blocks = {
@@ -163,13 +160,19 @@ def convert_resnet_visual(sd: dict, prefix: str = "visual.") -> Tuple[dict, dict
         round((_np32(sd[f"{prefix}attnpool.positional_embedding"]).shape[0] - 1)
               ** 0.5)
     )
-    cfg = {
+    return {
         "layers": tuple(counts),
         "width": width,
         "output_dim": output_dim,
         "heads": embed_dim // 64,
         "input_resolution": spacial * 32,
     }
+
+
+def convert_resnet_visual(sd: dict, prefix: str = "visual.") -> Tuple[dict, dict]:
+    """torch ModifiedResNet state dict -> (visual pytree, derived config)."""
+    cfg = resnet_config_from_state_dict(sd, prefix)
+    counts = cfg["layers"]
     stem = {
         "conv1": _conv_w(sd, f"{prefix}conv1.weight"),
         "bn1": _bn_params(sd, f"{prefix}bn1"),

@@ -119,18 +119,28 @@ class ShardedSampler:
         self.epoch = epoch
 
     def indices(self) -> np.ndarray:
+        return self.indices_with_pad()[0]
+
+    def indices_with_pad(self):
+        """(indices, is_pad) for this shard; ``is_pad`` flags the cyclic
+        wrap-pad duplicates appended to equalize shard sizes, so eval can
+        NaN them out and sharded stats match a single-device run exactly
+        (the torch DistributedSampler silently double-counts these)."""
         idx = np.arange(self.num_samples)
         if self.shuffle:
             rng = np.random.RandomState(self.seed * 7919 + self.epoch)
             rng.shuffle(idx)
+        is_pad = np.zeros(len(idx), bool)
         if self.drop_last:
             usable = (len(idx) // self.num_shards) * self.num_shards
-            idx = idx[:usable]
+            idx, is_pad = idx[:usable], is_pad[:usable]
         else:
             pad = (-len(idx)) % self.num_shards
             if pad:  # cyclic tiling: pad may exceed the sample count
                 idx = np.concatenate([idx, np.resize(idx, pad)])
-        return idx[self.shard_id :: self.num_shards]
+                is_pad = np.concatenate([is_pad, np.ones(pad, bool)])
+        return (idx[self.shard_id :: self.num_shards],
+                is_pad[self.shard_id :: self.num_shards])
 
 
 class DataLoader:
@@ -173,21 +183,24 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self) -> List[np.ndarray]:
-        idx = self.sampler.indices()
+        idx, sampler_pad = self.sampler.indices_with_pad()
         n_real = len(idx)
         if self.pad_to_full_batches and not self.drop_last:
             pad = (-n_real) % self.batch_size
             if pad:  # cyclic tiling: pad may exceed the sample count
                 idx = np.concatenate([idx, np.resize(idx, pad)])
+                sampler_pad = np.concatenate(
+                    [sampler_pad, np.ones(pad, bool)]
+                )
         nb = len(idx) // self.batch_size if self.drop_last else (
             (len(idx) + self.batch_size - 1) // self.batch_size
         )
         out = []
         for i in range(nb):
-            b = idx[i * self.batch_size : (i + 1) * self.batch_size]
-            is_pad = np.arange(i * self.batch_size,
-                               i * self.batch_size + len(b)) >= n_real
-            out.append((b, is_pad))
+            sl = slice(i * self.batch_size, (i + 1) * self.batch_size)
+            # padding = loader-level wrap-pad OR the sampler's own
+            # shard-equalizing duplicates
+            out.append((idx[sl], sampler_pad[sl].copy()))
         return out
 
     def _load(self, b) -> dict:

@@ -285,6 +285,50 @@ def eval_cutoffs_for(task: str, detailed: bool):
     return (0.0,) if task == "ovssc" else (-2.0,)
 
 
+def _local_rows(arr) -> np.ndarray:
+    """This process's batch rows of a possibly cross-process-sharded array
+    (in local index order). Fully-addressable arrays pass straight through
+    np.asarray, so single-host behavior is unchanged."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
+def _sync_padded_shapes(batch: dict, task: str) -> dict:
+    """Agree on device-array shapes across processes before
+    ``make_array_from_process_local_data`` (multi-host eval).
+
+    collate_padded pads ragged eval samples to per-PROCESS-local maxima;
+    with >1 process the local shapes can disagree and the global-array
+    assembly (and traced program) would diverge across hosts. Gather the
+    local maxima and pad every device key to the global max (same fill
+    rules as the loader's padding)."""
+    from ..data.loader import _PAD_VALUES
+    from ..parallel.mesh import all_gather_host_objects
+
+    keys = [k for k in DEVICE_KEYS[task]
+            if k in batch and isinstance(batch[k], np.ndarray)]
+    local = {k: batch[k].shape[1:] for k in keys}
+    target = {k: np.asarray(s) for k, s in local.items()}
+    for other in all_gather_host_objects(local):
+        for k, s in other.items():
+            if k in target:
+                target[k] = np.maximum(target[k], np.asarray(s))
+    out = dict(batch)
+    for k in keys:
+        t = tuple(int(x) for x in target[k])
+        if t != batch[k].shape[1:]:
+            pads = [(0, 0)] + [
+                (0, a - b) for a, b in zip(t, batch[k].shape[1:])
+            ]
+            out[k] = np.pad(batch[k], pads,
+                            constant_values=_PAD_VALUES.get(k, 0))
+    return out
+
+
 def run_eval_split(
     state: TrainState,
     eval_step,
@@ -305,6 +349,8 @@ def run_eval_split(
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
+        if jax.process_count() > 1:
+            batch = _sync_padded_shapes(batch, task)
         db = device_batch(batch, task, mesh, text_encoder)
         aux = eval_step(state.params, db)
         scalars["loss"].append(float(aux["loss"]))
@@ -313,7 +359,10 @@ def run_eval_split(
             aux["logits"], db["output_label_pts"], db["output_xyz_pts"],
             aux["ignore"], cutoffs, scene_bounds, voxel_shapes,
         )
-        stats = {k: np.asarray(v) for k, v in stats.items()}
+        # multi-host: stats batch rows are globally sharded; keep only THIS
+        # process's rows (in local order) so they pair with the local host
+        # batch's meta/pad below. Single-process: plain np.asarray.
+        stats = {k: _local_rows(v) for k, v in stats.items()}
         sample_pad = np.asarray(batch.get("_sample_pad", np.zeros(0, bool)))
         if task == "ovssc":
             meta = {
