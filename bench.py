@@ -1,10 +1,12 @@
-"""Headline benchmark: multi-scale relevancy maps/sec/chip.
+"""Headline benchmark: multi-scale relevancy maps/sec/chip (+ train steps/s).
 
 Reproduces the reference's flagship workload — ``generate_relevancy.py
 image`` (reference: generate_relevancy.py:394-451): a 9-label multi-scale
 "ours"-config saliency extraction over a 640x480 image (4 crop scales x
 (1 + 5 jitter augs) x horizontal flip, reference CLIP/clip/__init__.py:19-31)
-with ViT-B/32 — and measures end-to-end maps/sec on one chip.
+with ViT-B/32 — and measures end-to-end maps/sec on one chip. Also measures
+the secondary headline: full-size OVSSC train steps/s (batch 1/chip, 128^3,
+4 patches, 80k in / 400k out pts — the reference's regime, README.md:315).
 
 The reference publishes no throughput number (BASELINE.md); the only
 instrumentation is the un-recorded wall-clock print at
@@ -28,12 +30,22 @@ counted work rather than a guessed wall-clock:
   wall-clocks reported by users are tens of seconds (0.3-0.4 maps/s); the
   floor is used as the baseline denominator to keep the multiple honest.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Resilience (round-2 postmortem): round 2 ended with no captured number
+because a libtpu client/terminal version skew poisoned the persistent AOT
+compile cache and backend init died (BENCH_r02.json rc=1). This script now
+runs the measurement in a CHILD process with a hard timeout (a hanging
+tunnel init can't wedge the bench), clears ``.jax_cache`` and retries once
+on any failure, and on a second failure prints a one-line diagnostic JSON
+(``value: null`` + ``error``) with exit 0 so the round is never blind.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
+import shutil
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 
 # derived optimistic 3090 floor: 9 maps / (4.5 s host tiling + 4.4 s device)
@@ -41,14 +53,14 @@ import numpy as np
 # measurement (no 3090 in this environment)
 REFERENCE_3090_MAPS_PER_SEC = 1.0
 
+CACHE_DIR = "/root/repo/.jax_cache"
+CHILD_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_TIMEOUT", "1500"))
 
-def main():
+
+def _measure_relevancy():
     import jax
-
-    # persistent compile cache: first-ever run pays remote compiles once;
-    # driver re-runs then start hot
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
+    import numpy as np
 
     from semantic_abstraction_tpu.clip import (
         ClipSaliency,
@@ -110,7 +122,85 @@ def main():
         pending = maps
     np.asarray(pending)
     wall = time.perf_counter() - t0
-    maps_per_sec = k * len(labels) / wall
+    return k * len(labels) / wall, latency
+
+
+def _measure_train():
+    """Full-size OVSSC train steps/s (reference regime, README.md:315)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from semantic_abstraction_tpu.models import SemAbs3DConfig, init_semabs3d
+    from semantic_abstraction_tpu.runtime import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        ovssc_forward_loss,
+    )
+
+    cfg = SemAbs3DConfig()
+    params = init_semabs3d(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(num_training_steps=1000)
+    state = init_train_state(params, tx)
+    step = make_train_step(ovssc_forward_loss, cfg, tx,
+                           compute_dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    batch = {
+        "input_xyz_pts": jnp.asarray(
+            rs.uniform(-1, 1.9, (1, 80000, 3)).astype(np.float32)),
+        "input_feature_pts": jnp.asarray(
+            rs.randn(1, 4, 80000, 1).astype(np.float32)),
+        "output_xyz_pts": jnp.asarray(
+            rs.uniform(-1, 1.9, (1, 4, 400000, 3)).astype(np.float32)),
+        "output_label_pts": jnp.asarray(
+            rs.randint(0, 2, (1, 4, 400000)).astype(np.float32)),
+        "out_of_bounds_pts": jnp.zeros((1, 4, 400000), bool),
+        "out_of_frustum_pts_mask": jnp.zeros((1, 4, 400000), bool),
+        "padding_mask": jnp.zeros((1, 4), bool),
+    }
+    state, stats = step(state, batch)
+    float(stats["loss"])  # host readback forces completion (axon tunnel)
+    # steady state: the train loop no longer syncs per step (scalars are
+    # buffered and flushed every 16 steps), so dispatch runs ahead of the
+    # device; measure N chained steps synced once at the end. Each step
+    # consumes the previous state (donated), so nothing is memoized and the
+    # last loss readback forces the whole chain.
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, stats = step(state, batch)
+    float(stats["loss"])
+    return n / (time.perf_counter() - t0)
+
+
+HEARTBEAT = "SEMABS_BENCH_BACKEND_OK"
+INIT_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_INIT_TIMEOUT", "300"))
+
+
+def _child_main():
+    import jax
+
+    if os.environ.get("SEMABS_BENCH_NO_CACHE") != "1":
+        # persistent compile cache: first-ever run pays remote compiles
+        # once; driver re-runs then start hot
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+
+    # backend-init heartbeat: the orchestrator kills us fast if this never
+    # arrives (a dead axon tunnel HANGS in init rather than erroring)
+    devs = jax.devices()
+    platform = devs[0].platform.lower()
+    if platform not in ("tpu", "axon") and not os.environ.get(
+        "SEMABS_BENCH_ALLOW_CPU"
+    ):
+        # never record a silent CPU-fallback number as if it were TPU
+        print(f"refusing to bench on platform={platform!r} "
+              f"(set SEMABS_BENCH_ALLOW_CPU=1 to override)", file=sys.stderr)
+        sys.exit(3)
+    print(HEARTBEAT, flush=True)
+
+    maps_per_sec, latency = _measure_relevancy()
+    train_sps = _measure_train()
 
     print(json.dumps({
         "metric": "relevancy_maps_per_sec_per_chip",
@@ -119,9 +209,94 @@ def main():
                 "pipelined readback)",
         "vs_baseline": round(maps_per_sec / REFERENCE_3090_MAPS_PER_SEC, 2),
         "latency_s_per_image": round(latency, 3),
+        "train_steps_per_sec_ovssc": round(train_sps, 3),
+        "train_unit": "steps/s (128^3 voxels, 4 patches, 80k/400k pts, "
+                      "bf16, batch 1/chip)",
         "baseline_note": "estimated 3090 floor 1.0 maps/s from counted "
                          "work (3120 ViT fwd + tail bwds + 4.5s host "
                          "tiling); see bench.py docstring",
+    }), flush=True)
+
+
+def _run_child(extra_env):
+    import threading
+
+    env = dict(os.environ, **extra_env)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    out_lines, err_chunks = [], []
+    got_heartbeat = threading.Event()
+
+    def _read_out():
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            out_lines.append(line)
+            if line.strip() == HEARTBEAT:
+                got_heartbeat.set()
+
+    def _read_err():
+        err_chunks.append(proc.stderr.read())
+
+    to = threading.Thread(target=_read_out, daemon=True)
+    te = threading.Thread(target=_read_err, daemon=True)
+    to.start()
+    te.start()
+
+    # phase 1: backend init must heartbeat quickly (a dead tunnel hangs)
+    deadline = time.monotonic() + INIT_TIMEOUT_S
+    while not got_heartbeat.is_set() and proc.poll() is None:
+        if time.monotonic() > deadline:
+            proc.kill()
+            proc.wait()
+            return None, (f"no backend heartbeat within {INIT_TIMEOUT_S}s "
+                          f"(hung tunnel init)")
+        time.sleep(0.5)
+    # phase 2: measurements + compiles get the long budget
+    try:
+        proc.wait(timeout=CHILD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        return None, f"timeout after {CHILD_TIMEOUT_S}s during measurement"
+    to.join(timeout=10)
+    te.join(timeout=10)
+    # the JSON line is the last stdout line that parses
+    for line in reversed(out_lines):
+        try:
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            return line, None
+    tail = ("".join(err_chunks) or "\n".join(out_lines)).strip().splitlines()[-8:]
+    return None, (f"rc={proc.returncode}: " + " | ".join(tail))[-600:]
+
+
+def main():
+    if "--child" in sys.argv:
+        _child_main()
+        return
+
+    line, err1 = _run_child({})
+    if line is not None:
+        print(line)
+        return
+    # retry once with the persistent AOT cache cleared AND disabled — a
+    # libtpu client/terminal version skew leaves stale AOT executables
+    # that poison backend init (round-2 failure mode)
+    shutil.rmtree(CACHE_DIR, ignore_errors=True)
+    line, err2 = _run_child({"SEMABS_BENCH_NO_CACHE": "1"})
+    if line is not None:
+        print(line)
+        return
+    print(json.dumps({
+        "metric": "relevancy_maps_per_sec_per_chip",
+        "value": None,
+        "unit": "maps/s",
+        "vs_baseline": None,
+        "error": f"attempt1: {err1}; attempt2 (cache cleared): {err2}",
     }))
 
 

@@ -42,6 +42,16 @@ def _best_cutoff(df, metric):
     return df.groupby("cutoff")[[metric]].mean()[metric].idxmax()
 
 
+def _nanmean(values) -> float:
+    """np.nanmean that returns NaN for empty/all-NaN input WITHOUT the
+    "Mean of empty slice" RuntimeWarning — empty split masks are routine
+    (e.g. a split file with no unseen_instances_dr scenes), and a silent
+    NaN cell is the reference's rendering too."""
+    arr = np.asarray(values, dtype=np.float64).ravel()
+    arr = arr[~np.isnan(arr)]
+    return float(arr.mean()) if arr.size else float("nan")
+
+
 def summarize_ovssc(approaches: dict, metric="voxel32x32x32_iou"):
     """approaches: name -> detailed-stats DataFrame. Returns a DataFrame
     with novel room/visual/vocab/class columns (reference summarize.py:14-91)."""
@@ -60,19 +70,19 @@ def summarize_ovssc(approaches: dict, metric="voxel32x32x32_iou"):
         rows["approach"].append(name)
         d = df[(df.split == "unseen_instances") & ~novel_class]
         rows["novel rooms"].append(
-            np.nanmean(np.array(d.groupby("room_id")[metric].mean()))
+            _nanmean(d.groupby("room_id")[metric].mean())
         )
         d = df[(df.split == "unseen_instances_dr") & ~novel_class]
         rows["novel visual"].append(
-            np.nanmean(np.array(d.groupby("room_id")[metric].mean()))
+            _nanmean(d.groupby("room_id")[metric].mean())
         )
         d = df[novel_class]
         rows["novel class"].append(
-            np.nanmean(np.array(d.groupby("label")[metric].mean()))
+            _nanmean(d.groupby("label")[metric].mean())
         )
         d = df[(df.split == "unseen_instances_synonyms") & novel_vocab]
         rows["novel vocab"].append(
-            np.nanmean(np.array(d.groupby("label")[metric].mean()))
+            _nanmean(d.groupby("label")[metric].mean())
         )
     return pd.DataFrame.from_dict(rows)
 
@@ -101,15 +111,15 @@ def summarize_vool(approaches: dict, metric="voxel32x32x32_iou"):
             rows["relation"].append(relation)
             d = df[(df.split == "unseen_instances") & ~novel_class]
             rows["novel rooms"].append(
-                np.nanmean(np.array(d.groupby("room_id")[metric].mean()))
+                _nanmean(d.groupby("room_id")[metric].mean())
             )
             d = df[(df.split == "unseen_instances_dr") & ~novel_class]
             rows["novel visual"].append(
-                np.nanmean(np.array(d.groupby("room_id")[metric].mean()))
+                _nanmean(d.groupby("room_id")[metric].mean())
             )
-            rows["novel class"].append(np.nanmean(df[novel_class][metric]))
+            rows["novel class"].append(_nanmean(df[novel_class][metric]))
             d = df[(df.split == "unseen_instances_synonyms") & novel_vocab]
-            rows["novel vocab"].append(np.nanmean(d[metric]))
+            rows["novel vocab"].append(_nanmean(d[metric]))
     out = pd.DataFrame.from_dict(rows)
     # append per-approach mean rows
     means = []

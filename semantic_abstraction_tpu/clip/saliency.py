@@ -78,13 +78,19 @@ class CropSpec:
 
 @dataclasses.dataclass(frozen=True)
 class SaliencyConfig:
-    """Mirror of the reference saliency_configs entries (__init__.py:19-41)."""
+    """Mirror of the reference saliency_configs entries (__init__.py:19-41).
+
+    ``distractor_labels`` round-trips the reference config dicts' key
+    (__init__.py:21, :34 — empty in both published configs): labels whose
+    mean relevancy is subtracted from every requested label's map
+    (__init__.py:125-131). Merged with any per-call distractors."""
 
     crops: Tuple[CropSpec, ...]
     horizontal_flipping: bool = True
     augmentations: int = 5
     positive_attn_only: bool = True
     imagenet_prompt_ensemble: bool = False
+    distractor_labels: Tuple[str, ...] = ()
 
 
 def ours_config(img_dim: int) -> SaliencyConfig:
@@ -97,6 +103,7 @@ def ours_config(img_dim: int) -> SaliencyConfig:
         ),
         horizontal_flipping=True,
         augmentations=5,
+        distractor_labels=(),
     )
 
 
@@ -105,6 +112,7 @@ def chefer_et_al_config(img_dim: int) -> SaliencyConfig:
         crops=(CropSpec(img_dim, img_dim // 4),),
         horizontal_flipping=False,
         augmentations=0,
+        distractor_labels=(),
     )
 
 
@@ -492,6 +500,11 @@ class ClipSaliency:
         maps = self._saliency_convolve(
             img, self._pad_label_bucket(zw), config, key
         )[:n_labels]
+        # config-level distractors (reference saliency_configs carry the
+        # key, __init__.py:21) merge with per-call ones
+        distractor_labels = tuple(distractor_labels) + tuple(
+            d for d in config.distractor_labels if d not in set(distractor_labels)
+        )
         if len(distractor_labels):
             extra = [d for d in distractor_labels if d not in set(text_labels)]
             if extra:

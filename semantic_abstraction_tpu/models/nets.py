@@ -321,11 +321,18 @@ class SemAbsVOOLConfig:
 
     The completion default uses unet_batch_chunk=2: VOOL holds TWO UNet
     passes (target + reference streams) plus a 2C spatial sampler, and the
-    full-size step OOMs a v5e at chunk 4 (20.6 vs 15.75 GB)."""
+    full-size step OOMs a v5e at chunk 4 (20.6 vs 15.75 GB).
+
+    Completion decoder quirk: the reference pops ``decoder_concat_xyz_pts``
+    from the kwargs before building the inner SemAbs3D (net.py:469-486),
+    whose own default is False (net.py:334) — so every reference VOOL
+    completion decoder has NO xyz concat; only the spatial_sampler gets the
+    flag. The completion default here mirrors that."""
 
     completion: SemAbs3DConfig = dataclasses.field(
         default_factory=lambda: SemAbs3DConfig(
-            unet_batch_chunk=2, unet_remat_policy="full"
+            unet_batch_chunk=2, unet_remat_policy="full",
+            decoder_concat_xyz_pts=False,
         )
     )
     pointing_method: str = "cosine_sim"
@@ -414,10 +421,18 @@ def semabs_vool_forward(
 
 @dataclasses.dataclass(frozen=True)
 class SemanticAwareVOOLConfig:
-    """RGB-in baseline with CLIP text-feature queries (net.py:582-636)."""
+    """RGB-in baseline with CLIP text-feature queries (net.py:582-636).
+
+    Inherits SemAbsVOOL's completion-decoder quirk (net.py:469-486, :334):
+    the inner decoder is built with concat_xyz=False, and here the quirk is
+    VALUE-affecting — this variant uses the completion decoder's output
+    directly (net.py:623-626)."""
 
     completion: SemAbs3DConfig = dataclasses.field(
-        default_factory=lambda: SemAbs3DConfig(network_inputs=("rgb",), output_dim=64)
+        default_factory=lambda: SemAbs3DConfig(
+            network_inputs=("rgb",), output_dim=64,
+            decoder_concat_xyz_pts=False,
+        )
     )
     pointing_method: str = "cosine_sim"
     pointing_dim: int = 64
@@ -485,9 +500,15 @@ def semantic_aware_vool_forward(
 
 @dataclasses.dataclass(frozen=True)
 class ClipSpatialVOOLConfig:
-    """Full-description relevancy baseline, no learned relations (net.py:639-678)."""
+    """Full-description relevancy baseline, no learned relations (net.py:639-678).
 
-    completion: SemAbs3DConfig = dataclasses.field(default_factory=SemAbs3DConfig)
+    Same completion-decoder quirk as SemAbsVOOL: the reference consumes
+    ``decoder_concat_xyz_pts`` before the inner SemAbs3D (net.py:640-648),
+    so the completion decoder is built with concat_xyz=False."""
+
+    completion: SemAbs3DConfig = dataclasses.field(
+        default_factory=lambda: SemAbs3DConfig(decoder_concat_xyz_pts=False)
+    )
     decoder_concat_xyz_pts: bool = True
 
 

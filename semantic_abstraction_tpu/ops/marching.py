@@ -145,6 +145,19 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0):
     t = np.clip(t, 0.0, 1.0)[..., None]
     verts = pa + t * (pb - pa)  # (F, 3 verts, 3 xyz)
 
+    # consistent OUTWARD winding (toward increasing values — empty space in
+    # TSDF convention, matching skimage marching-cubes orientation
+    # semantics): every case edge is ordered (inside, outside), so
+    # mean(pb) - mean(pa) has a strictly positive dot with the local field
+    # gradient on each tet (dot(grad, pb_j - pa_i) = phi_out - phi_in > 0);
+    # flip triangles whose normal opposes it. The 6-tet cube decomposition
+    # has mixed parity, so a fixed per-case winding alone cannot be
+    # globally consistent.
+    normal = np.cross(verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0])
+    outward = pb.mean(axis=1) - pa.mean(axis=1)
+    flip = np.einsum("ij,ij->i", normal, outward) < 0
+    verts[flip] = verts[flip][:, [0, 2, 1]]
+
     flat_verts = verts.reshape(-1, 3)
     # deduplicate (quantize to kill float noise)
     keys = np.round(flat_verts * 1024.0).astype(np.int64)

@@ -96,7 +96,9 @@ DEVICE_KEYS = {
 }
 
 
-def completion_cfg_from_args(args, network_inputs=None, output_dim=1) -> SemAbs3DConfig:
+def completion_cfg_from_args(
+    args, network_inputs=None, output_dim=1, decoder_concat_xyz_pts=None
+) -> SemAbs3DConfig:
     b = args.scene_bounds
     bounds = ((b[0], b[1], b[2]), (b[3], b[4], b[5])) if len(b) == 6 else tuple(
         map(tuple, b)
@@ -113,11 +115,20 @@ def completion_cfg_from_args(args, network_inputs=None, output_dim=1) -> SemAbs3
         pts_feat_extractor_hidden_dim=args.pts_feat_extractor_hidden_dim,
         reduce_method=args.reduce_method,
         output_dim=output_dim,
-        decoder_concat_xyz_pts=args.decoder_concat_xyz_pts,
+        decoder_concat_xyz_pts=(
+            args.decoder_concat_xyz_pts
+            if decoder_concat_xyz_pts is None
+            else decoder_concat_xyz_pts
+        ),
     )
 
 
 def model_cfg_from_args(task: str, approach: str, args):
+    # VOOL quirk: the reference pops --decoder_concat_xyz_pts from the
+    # kwargs before building the inner SemAbs3D (net.py:469-486, :640-648),
+    # whose own default is False (net.py:334) — so every reference VOOL
+    # COMPLETION decoder has concat_xyz=False regardless of the flag; only
+    # the outer spatial_sampler consumes it.
     if task == "ovssc":
         if approach == "semantic_aware":
             return SemanticAwareOVSSCConfig(
@@ -130,18 +141,27 @@ def model_cfg_from_args(task: str, approach: str, args):
     if approach == "semantic_aware":
         return SemanticAwareVOOLConfig(
             completion=completion_cfg_from_args(
-                args, network_inputs=["rgb"], output_dim=args.pointing_dim
+                args, network_inputs=["rgb"], output_dim=args.pointing_dim,
+                decoder_concat_xyz_pts=False,
             ),
             pointing_method=args.pointing_method,
             pointing_dim=args.pointing_dim,
         )
     if approach == "clip_spatial":
         return ClipSpatialVOOLConfig(
-            completion=completion_cfg_from_args(args),
+            completion=completion_cfg_from_args(
+                args, decoder_concat_xyz_pts=False
+            ),
             decoder_concat_xyz_pts=args.decoder_concat_xyz_pts,
         )
     return SemAbsVOOLConfig(
-        completion=completion_cfg_from_args(args),
+        # chunk=2/full-remat: the two-stream step OOMs a v5e at the chunk-4
+        # default (see SemAbsVOOLConfig docstring); keep the CLI path on the
+        # same memory plan as the dataclass default
+        completion=dataclasses.replace(
+            completion_cfg_from_args(args, decoder_concat_xyz_pts=False),
+            unet_batch_chunk=2, unet_remat_policy="full",
+        ),
         pointing_method=args.pointing_method,
         pointing_dim=args.pointing_dim,
         decoder_concat_xyz_pts=args.decoder_concat_xyz_pts,

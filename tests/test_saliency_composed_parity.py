@@ -12,6 +12,8 @@ reference ClipGradcam.preprocess patched to the same PIL-parity resize
 matmul our extractor uses, so both pipelines consume bit-identical tiles
 and the test isolates the pipeline seams rather than resize rounding.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -171,6 +173,56 @@ def test_composed_saliency_parity(pipelines):
     # and the maps must be pointwise well-correlated, not just close in norm
     cc = np.corrcoef(maps.ravel(), ref_maps.ravel())[0, 1]
     assert cc > 0.999, cc
+
+
+def test_composed_distractor_parity(pipelines):
+    """Nonempty distractor set, carried on the CONFIG (the reference's
+    saliency_configs dicts have a distractor_labels key, __init__.py:21):
+    the distractors' mean map is subtracted from every label map
+    (__init__.py:125-131)."""
+    W, ours = pipelines
+    W.clip_gradcam.templates = ["a photo of a {}"]
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    labels = ["chair", "table"]
+    distractors = ["wall", "floor"]
+    crops = [{"tile_size": 64, "stride": 16}]
+    ref_maps, _ = W.get_clip_saliency(
+        img=img,
+        text_labels=labels,
+        prompts=["a photo of a {}"],
+        distractor_labels=set(distractors),
+        horizontal_flipping=False,
+        positive_attn_only=True,
+        augmentations=0,
+        cropping_augmentations=crops,
+    )
+    ref_maps = ref_maps.float().numpy()
+
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16),),
+        horizontal_flipping=False,
+        augmentations=0,
+        distractor_labels=tuple(distractors),
+    )
+    maps, _ = ours.get_clip_saliency(
+        img, labels, ("a photo of a {}",), config
+    )
+    maps = np.asarray(maps).astype(np.float32)
+    assert maps.shape == ref_maps.shape == (2, 64, 64)
+    scale = np.abs(ref_maps).max()
+    np.testing.assert_allclose(maps, ref_maps, atol=2e-2 * scale, rtol=2e-2)
+    # a distractor that duplicates a text label must be ignored
+    # (reference: set(distractor_labels) - set(text_labels))
+    maps_dup, _ = ours.get_clip_saliency(
+        img, labels, ("a photo of a {}",),
+        dataclasses.replace(
+            config, distractor_labels=tuple(distractors) + ("chair",)
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(maps_dup).astype(np.float32), maps, atol=1e-6
+    )
 
 
 def test_composed_text_feature_parity(pipelines):
