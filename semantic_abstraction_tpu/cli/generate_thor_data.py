@@ -161,7 +161,7 @@ def write_scene_hdf5(path: str, scene_data: dict):
 
 
 def generate_datapoint(args_tuple):
-    seed, scene_id, out_dir, exported, dr, dist = args_tuple
+    seed, scene_id, out_dir, exported, dr, dist, num_output_pts = args_tuple
     from ..datagen.scene import scene_data_from_thor_datapoint
 
     out_path = os.path.join(out_dir, f"{scene_id}_{seed}.hdf5")
@@ -171,7 +171,9 @@ def generate_datapoint(args_tuple):
     datapoint = run_simulator(scene_id, dr, rng, dist=dist)
     if datapoint is None:
         return None
-    scene_data = scene_data_from_thor_datapoint(rng, datapoint, dist, exported)
+    scene_data = scene_data_from_thor_datapoint(
+        rng, datapoint, dist, exported, num_output_pts=num_output_pts
+    )
     if scene_data is None:
         return None
     write_scene_hdf5(out_path, scene_data)
@@ -179,7 +181,7 @@ def generate_datapoint(args_tuple):
 
 
 def main(argv=None):
-    from ..datagen.scene import ALL_SCENES, TEST_SCENES
+    from ..datagen.scene import ALL_SCENES, NUM_OUTPUT_PTS, TEST_SCENES
 
     parser = argparse.ArgumentParser(prog="generate_thor_data")
     parser.add_argument("output_dir", type=str)
@@ -189,17 +191,22 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--dist", type=float, default=3.0)
     parser.add_argument("--test-only", action="store_true")
+    parser.add_argument("--num-output-pts", type=int, default=None,
+                        help="GT points per scene (default: the reference's "
+                             "1M, datagen/scene.NUM_OUTPUT_PTS)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     os.makedirs(args.output_dir, exist_ok=True)
 
     scenes = TEST_SCENES if args.test_only else ALL_SCENES
+    num_output_pts = args.num_output_pts or NUM_OUTPUT_PTS
     tasks = []
     for seed in range(args.num_datapoints):
         scene_id = scenes[seed % len(scenes)]
         dr = scene_id in TEST_SCENES
         tasks.append(
-            (seed, scene_id, args.output_dir, args.exported_scenes, dr, args.dist)
+            (seed, scene_id, args.output_dir, args.exported_scenes, dr,
+             args.dist, num_output_pts)
         )
     if args.workers <= 1:
         results = [generate_datapoint(t) for t in tasks]
