@@ -250,8 +250,8 @@ def _run_child(extra_env):
         if time.monotonic() > deadline:
             proc.kill()
             proc.wait()
-            return None, (f"no backend heartbeat within {INIT_TIMEOUT_S}s "
-                          f"(hung tunnel init)")
+            return None, (f"HUNG: no backend heartbeat within "
+                          f"{INIT_TIMEOUT_S}s (dead tunnel blocks in init)")
         time.sleep(0.5)
     # phase 2: measurements + compiles get the long budget
     try:
@@ -283,11 +283,19 @@ def main():
     if line is not None:
         print(line)
         return
-    # retry once with the persistent AOT cache cleared AND disabled — a
-    # libtpu client/terminal version skew leaves stale AOT executables
-    # that poison backend init (round-2 failure mode)
-    shutil.rmtree(CACHE_DIR, ignore_errors=True)
-    line, err2 = _run_child({"SEMABS_BENCH_NO_CACHE": "1"})
+    # Retry once. If init ERRORED, suspect the round-2 failure mode — a
+    # libtpu client/terminal version skew leaving stale AOT executables
+    # that poison backend init — so clear AND disable the persistent
+    # cache. If init HUNG (dead tunnel), the cache is innocent: keep the
+    # warm AOT compiles and just retry (a tunnel relay may have respawned).
+    if not err1.startswith("HUNG"):
+        shutil.rmtree(CACHE_DIR, ignore_errors=True)
+        retry_env = {"SEMABS_BENCH_NO_CACHE": "1"}
+        retry_note = "cache cleared"
+    else:
+        retry_env = {}
+        retry_note = "cache kept, tunnel hang"
+    line, err2 = _run_child(retry_env)
     if line is not None:
         print(line)
         return
@@ -296,7 +304,7 @@ def main():
         "value": None,
         "unit": "maps/s",
         "vs_baseline": None,
-        "error": f"attempt1: {err1}; attempt2 (cache cleared): {err2}",
+        "error": f"attempt1: {err1}; attempt2 ({retry_note}): {err2}",
     }))
 
 
