@@ -44,10 +44,10 @@ def _torch_reference_decoder(params, vol, grid, query_points, concat_xyz):
     feats = sampled.reshape(b * n, c)
     if concat_xyz:
         feats = torch.cat([feats, qn.reshape(b * n, 3)], dim=-1)
-    w1 = torch.from_numpy(np.asarray(params["fc1"]["w"]))
-    b1 = torch.from_numpy(np.asarray(params["fc1"]["b"]))
-    w2 = torch.from_numpy(np.asarray(params["fc2"]["w"]))
-    b2 = torch.from_numpy(np.asarray(params["fc2"]["b"]))
+    w1 = torch.from_numpy(np.array(params["fc1"]["w"]))
+    b1 = torch.from_numpy(np.array(params["fc1"]["b"]))
+    w2 = torch.from_numpy(np.array(params["fc2"]["w"]))
+    b2 = torch.from_numpy(np.array(params["fc2"]["b"]))
     h = torch.nn.functional.leaky_relu(feats @ w1 + b1)
     out = h @ w2 + b2
     return out.view(b, n, -1).numpy()

@@ -40,8 +40,11 @@ def _numpy_tsdf_reference(vol, frames, obs_weight=1.0):
         inv = np.linalg.inv(pose)
         cam = world @ inv[:3, :3].T + inv[:3, 3]
         pz = cam[:, 2]
-        px = np.round(cam[:, 0] * intr[0, 0] / pz + intr[0, 2]).astype(int)
-        py = np.round(cam[:, 1] * intr[1, 1] / pz + intr[1, 2]).astype(int)
+        # the reference divides by pz unguarded (fusion.py:160-165); pz<=0
+        # voxels are masked out below, so silence the expected inf/nan noise
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = np.round(cam[:, 0] * intr[0, 0] / pz + intr[0, 2]).astype(int)
+            py = np.round(cam[:, 1] * intr[1, 1] / pz + intr[1, 2]).astype(int)
         valid_pix = (px >= 0) & (px < w) & (py >= 0) & (py < h) & (pz > 0)
         depth_val = np.zeros(n, np.float32)
         depth_val[valid_pix] = depth_im[py[valid_pix], px[valid_pix]]
