@@ -54,7 +54,10 @@ import time
 REFERENCE_3090_MAPS_PER_SEC = 1.0
 
 CACHE_DIR = "/root/repo/.jax_cache"
-CHILD_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_TIMEOUT", "1500"))
+CHILD_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_TIMEOUT", "2100"))
+# 2100 s: the persistent AOT cache starts cold after round 2's skew
+# cleanup, so one full bench pays every remote compile (4 saliency scale
+# programs + text encoder + the 128^3 train step) before measuring.
 
 
 def _measure_relevancy():
