@@ -33,10 +33,15 @@ counted work rather than a guessed wall-clock:
 Resilience (round-2 postmortem): round 2 ended with no captured number
 because a libtpu client/terminal version skew poisoned the persistent AOT
 compile cache and backend init died (BENCH_r02.json rc=1). This script now
-runs the measurement in a CHILD process with a hard timeout (a hanging
-tunnel init can't wedge the bench), clears ``.jax_cache`` and retries once
-on any failure, and on a second failure prints a one-line diagnostic JSON
-(``value: null`` + ``error``) with exit 0 so the round is never blind.
+runs the measurement in a CHILD process with an init heartbeat + hard
+timeout (a hanging tunnel init can't wedge the bench), checkpoints the
+headline relevancy JSON before the secondary train measure (a train
+failure/hang can't void a captured headline), salvages any JSON the child
+printed before being killed, retries once (clearing ``.jax_cache`` only on
+actual ERRORS — hangs and timeouts keep the cache, which a timed-out first
+attempt has already warmed), and on a second failure prints a one-line
+diagnostic JSON (``value: null`` + ``error``) with exit 0 so the round is
+never blind.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -54,6 +59,14 @@ import time
 REFERENCE_3090_MAPS_PER_SEC = 1.0
 
 CACHE_DIR = "/root/repo/.jax_cache"
+
+# the headline 9-label workload (shared with scripts/bench_reference_cpu.py)
+HEADLINE_LABELS = (
+    "basketball jersey", "nintendo switch", "television",
+    "ping pong table", "vase", "fireplace",
+    "abstract painting of a vespa", "carpet", "wall",
+)
+HEADLINE_PROMPTS = ("a photograph of a {} in a home.",)
 CHILD_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_TIMEOUT", "2100"))
 # 2100 s: the persistent AOT cache starts cold after round 2's skew
 # cleanup, so one full bench pays every remote compile (4 saliency scale
@@ -72,11 +85,7 @@ def _measure_relevancy():
         ours_config,
     )
 
-    labels = [
-        "basketball jersey", "nintendo switch", "television",
-        "ping pong table", "vase", "fireplace",
-        "abstract painting of a vespa", "carpet", "wall",
-    ]
+    labels = list(HEADLINE_LABELS)
     h, w = 480, 640
     rs = np.random.RandomState(0)
     img = rs.randint(0, 255, (h, w, 3), dtype=np.uint8)
@@ -91,7 +100,7 @@ def _measure_relevancy():
     # the axon tunnel block_until_ready returns before execution finishes
     # and only a host readback actually waits for the device.
     maps, _ = sal.get_clip_saliency(
-        img, labels, ["a photograph of a {} in a home."], config,
+        img, labels, list(HEADLINE_PROMPTS), config,
         key=jax.random.PRNGKey(0),
     )
     np.asarray(maps)
@@ -101,7 +110,7 @@ def _measure_relevancy():
     for i in range(3):
         t0 = time.perf_counter()
         maps, _ = sal.get_clip_saliency(
-            img, labels, ["a photograph of a {} in a home."], config,
+            img, labels, list(HEADLINE_PROMPTS), config,
             key=jax.random.PRNGKey(i + 1),
         )
         np.asarray(maps)
@@ -117,7 +126,7 @@ def _measure_relevancy():
     pending = None
     for i in range(k):
         maps, _ = sal.get_clip_saliency(
-            img, labels, ["a photograph of a {} in a home."], config,
+            img, labels, list(HEADLINE_PROMPTS), config,
             key=jax.random.PRNGKey(100 + i),
         )
         if pending is not None:
@@ -203,22 +212,33 @@ def _child_main():
     print(HEARTBEAT, flush=True)
 
     maps_per_sec, latency = _measure_relevancy()
-    train_sps = _measure_train()
 
-    print(json.dumps({
+    result = {
         "metric": "relevancy_maps_per_sec_per_chip",
         "value": round(maps_per_sec, 3),
         "unit": "maps/s (ours config, 480x640, 9 labels, ViT-B/32, "
                 "pipelined readback)",
         "vs_baseline": round(maps_per_sec / REFERENCE_3090_MAPS_PER_SEC, 2),
         "latency_s_per_image": round(latency, 3),
-        "train_steps_per_sec_ovssc": round(train_sps, 3),
-        "train_unit": "steps/s (128^3 voxels, 4 patches, 80k/400k pts, "
-                      "bf16, batch 1/chip)",
         "baseline_note": "estimated 3090 floor 1.0 maps/s from counted "
                          "work (3120 ViT fwd + tail bwds + 4.5s host "
                          "tiling); see bench.py docstring",
-    }), flush=True)
+    }
+    # checkpoint the headline metric NOW: if the secondary train measure
+    # dies or hangs, the parent salvages this line (it scans for the LAST
+    # parseable JSON, so the final print below supersedes it on success)
+    print(json.dumps(dict(result, train_steps_per_sec_ovssc=None,
+                          train_error="not reached")), flush=True)
+
+    try:
+        train_sps = _measure_train()
+        result["train_steps_per_sec_ovssc"] = round(train_sps, 3)
+        result["train_unit"] = ("steps/s (128^3 voxels, 4 patches, "
+                                "80k/400k pts, bf16, batch 1/chip)")
+    except Exception as e:  # secondary metric must not void the headline
+        result["train_steps_per_sec_ovssc"] = None
+        result["train_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(result), flush=True)
 
 
 def _run_child(extra_env):
@@ -247,6 +267,18 @@ def _run_child(extra_env):
     to.start()
     te.start()
 
+    def _scan_json():
+        # the result is the LAST stdout line that parses (the child
+        # checkpoints a headline-only line before the train measure)
+        for line in reversed(list(out_lines)):
+            try:
+                parsed = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                return line
+        return None
+
     # phase 1: backend init must heartbeat quickly (a dead tunnel hangs)
     deadline = time.monotonic() + INIT_TIMEOUT_S
     while not got_heartbeat.is_set() and proc.poll() is None:
@@ -256,25 +288,27 @@ def _run_child(extra_env):
             return None, (f"HUNG: no backend heartbeat within "
                           f"{INIT_TIMEOUT_S}s (dead tunnel blocks in init)")
         time.sleep(0.5)
+    init_errored = proc.poll() is not None and not got_heartbeat.is_set()
     # phase 2: measurements + compiles get the long budget
+    timed_out = False
     try:
         proc.wait(timeout=CHILD_TIMEOUT_S)
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.wait()
-        return None, f"timeout after {CHILD_TIMEOUT_S}s during measurement"
+        timed_out = True
     to.join(timeout=10)
     te.join(timeout=10)
-    # the JSON line is the last stdout line that parses
-    for line in reversed(out_lines):
-        try:
-            parsed = json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-        if isinstance(parsed, dict) and "metric" in parsed:
-            return line, None
+    line = _scan_json()
+    if line is not None:
+        # salvage a checkpointed/complete result even if the child then
+        # hung in teardown through a wedged tunnel or died on a secondary
+        return line, None
+    if timed_out:
+        return None, f"MEASURE_TIMEOUT: after {CHILD_TIMEOUT_S}s, no JSON"
     tail = ("".join(err_chunks) or "\n".join(out_lines)).strip().splitlines()[-8:]
-    return None, (f"rc={proc.returncode}: " + " | ".join(tail))[-600:]
+    kind = "INIT_ERROR" if init_errored else "MEASURE_ERROR"
+    return None, (f"{kind}: rc={proc.returncode}: " + " | ".join(tail))[-600:]
 
 
 def main():
@@ -286,18 +320,20 @@ def main():
     if line is not None:
         print(line)
         return
-    # Retry once. If init ERRORED, suspect the round-2 failure mode — a
-    # libtpu client/terminal version skew leaving stale AOT executables
-    # that poison backend init — so clear AND disable the persistent
-    # cache. If init HUNG (dead tunnel), the cache is innocent: keep the
-    # warm AOT compiles and just retry (a tunnel relay may have respawned).
-    if not err1.startswith("HUNG"):
+    # Retry once. On an actual ERROR (init or measurement), suspect the
+    # round-2 failure mode — a libtpu client/terminal version skew leaving
+    # stale AOT executables that poison the run — so clear AND disable the
+    # persistent cache. On a HANG (dead tunnel) or a measurement TIMEOUT
+    # the cache is innocent and is the retry's best asset: a timed-out
+    # first attempt has already persisted most compiled executables, so
+    # the retry starts warm and fits the budget.
+    if err1.startswith(("INIT_ERROR", "MEASURE_ERROR")):
         shutil.rmtree(CACHE_DIR, ignore_errors=True)
         retry_env = {"SEMABS_BENCH_NO_CACHE": "1"}
         retry_note = "cache cleared"
     else:
         retry_env = {}
-        retry_note = "cache kept, tunnel hang"
+        retry_note = "cache kept"
     line, err2 = _run_child(retry_env)
     if line is not None:
         print(line)

@@ -28,12 +28,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import numpy as np
 
-LABELS = [
-    "basketball jersey", "nintendo switch", "television",
-    "ping pong table", "vase", "fireplace",
-    "abstract painting of a vespa", "carpet", "wall",
-]
-PROMPTS = ["a photograph of a {} in a home."]
+from bench import HEADLINE_LABELS, HEADLINE_PROMPTS
+
+LABELS = list(HEADLINE_LABELS)
+PROMPTS = list(HEADLINE_PROMPTS)
 
 
 def _build_reference(cfg):

@@ -199,7 +199,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     scenes = TEST_SCENES if args.test_only else ALL_SCENES
-    num_output_pts = args.num_output_pts or NUM_OUTPUT_PTS
+    num_output_pts = (NUM_OUTPUT_PTS if args.num_output_pts is None
+                      else args.num_output_pts)
     tasks = []
     for seed in range(args.num_datapoints):
         scene_id = scenes[seed % len(scenes)]

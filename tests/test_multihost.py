@@ -46,7 +46,18 @@ def worker_results(tmp_path_factory):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
-    logs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        logs = [p.communicate(timeout=900)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        # one worker dying before initialize() leaves its sibling blocked
+        # in the coordinator handshake forever — kill BOTH, don't leak a
+        # process into the rest of the pytest session
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        logs = [p.communicate()[0] for p in procs]
+        pytest.fail("multihost worker timed out:\n"
+                    + "\n---\n".join(log[-2000:] for log in logs))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
     return [json.loads(out.read_text()) for out in outs]
