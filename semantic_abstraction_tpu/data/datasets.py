@@ -197,7 +197,10 @@ class SceneCompletionDataset(SceneUnderstandDataset):
                 np.unique(deref_h5py(f["seg"], f["data/seg"])[0]).astype(int).tolist()
             ) - {-1}
             scene_obj_ids &= visible
-            patch_labels = list(
+            # sorted: set iteration order is PYTHONHASHSEED-dependent, and
+            # _gt_seg_patches consumes this ORDER (patch choice must be
+            # reproducible per (seed, epoch, idx) across processes)
+            patch_labels = sorted(
                 set(patch_labels[sorted(scene_obj_ids)])
                 - {"empty", "out of bounds", "unlabelled"}
             )
@@ -211,9 +214,10 @@ class SceneCompletionDataset(SceneUnderstandDataset):
             )
 
         text_labels = np.array(f[f"{prefix}|saliency_text_labels"]).astype(str)
-        assert set(patch_labels).issubset(set(text_labels.tolist()))
+        wanted = set(patch_labels)
+        assert wanted.issubset(set(text_labels.tolist()))
         sal_idx = np.array(
-            [i for i, l in enumerate(text_labels) if l in set(patch_labels)]
+            [i for i, l in enumerate(text_labels) if l in wanted]
         )
         if num_subsample_patches != -1 and len(sal_idx) > num_subsample_patches:
             sal_idx = rng.choice(sal_idx, num_subsample_patches, replace=False)
@@ -373,7 +377,12 @@ class SceneCompletionDataset(SceneUnderstandDataset):
         )
         try:
             self._transform_retvals(r, transform, common, depth, cam_intr, cam_pose)
-        except ValueError:
+        except Exception:
+            # reference catches ALL exceptions and retries without the DR
+            # transform (dataset.py:1207-1211). The common real trigger: a
+            # transform leaving zero in-bounds points makes the subsample's
+            # replace=True retry raise IndexError (empty array), which a
+            # narrower except would let crash the run.
             self._transform_retvals(r, None, common, depth, cam_intr, cam_pose)
 
         if "output_xyz_pts" in r:
@@ -384,9 +393,14 @@ class SceneCompletionDataset(SceneUnderstandDataset):
                 ]
             )
         if cfg.xyz_pts_noise > 0:
-            r["output_xyz_pts"] = r["output_xyz_pts"] + rng.randn(
-                *r["output_xyz_pts"].shape
-            ).astype(np.float32) * cfg.xyz_pts_noise
+            # GT-less (inference-style) scenes have no output_xyz_pts; the
+            # reference crashes there (dataset.py:1227-1233 unguarded) so
+            # skipping is strictly more usable and cannot diverge from any
+            # working reference configuration
+            if "output_xyz_pts" in r:
+                r["output_xyz_pts"] = r["output_xyz_pts"] + rng.randn(
+                    *r["output_xyz_pts"].shape
+                ).astype(np.float32) * cfg.xyz_pts_noise
             r["input_xyz_pts"] = r["input_xyz_pts"] + rng.randn(
                 *r["input_xyz_pts"].shape
             ).astype(np.float32) * cfg.xyz_pts_noise
@@ -578,9 +592,12 @@ class ObjectLocalizationDataset(SceneUnderstandDataset):
                     r[k].reshape(len(r[k]), int(np.prod(image_shape)), 1) * 50.0
                 ).astype(np.float32)
                 if "patch_masks" in cfg.network_inputs:
-                    # reference thresholds BEFORE the x50 (dataset.py:430-441);
-                    # cutoff is on the raw relevancy scale
-                    r[k] = (r[k] / 50.0 > cfg.patch_mask_cutoff).astype(np.float32)
+                    # reference QUIRK: VOOL multiplies by 50 BEFORE the
+                    # cutoff (dataset.py:429 then :430-441), so the 0.004
+                    # cutoff acts on the x50 scale (raw 8e-5) — unlike
+                    # SceneCompletionDataset, which thresholds the raw
+                    # values (dataset.py:1031-1047)
+                    r[k] = (r[k] > cfg.patch_mask_cutoff).astype(np.float32)
             nd = len(descs["spatial_relation_name"])
             r["input_rgb_pts"] = np.repeat(
                 (rgb / 255.0).reshape(1, -1, 3), nd, axis=0
@@ -632,7 +649,10 @@ class ObjectLocalizationDataset(SceneUnderstandDataset):
                 transform_matrix=transform,
                 **side, **common,
             )
-        except ValueError:
+        except Exception:
+            # reference catches ALL exceptions (dataset.py:558-569) and
+            # nulls kwargs["transform_matrix"], which the tsdf and output
+            # blocks then reuse — hence transform=None here propagates
             transform = None
             inp = transform_filter_subsample(
                 xyz_pts=r["input_xyz_pts"],
@@ -652,7 +672,11 @@ class ObjectLocalizationDataset(SceneUnderstandDataset):
             voxel_size = ((sb[1] - sb[0]) / np.asarray(cfg.tsdf_shape)).min()
             vol = TSDFVolume(sb.T, voxel_size=float(voxel_size))
             final_pose = cam_pose if transform is None else transform @ cam_pose
-            vol.integrate(rgb, depth, cam_intr, final_pose)
+            # reference integrates the /255-normalized image here
+            # (dataset.py:345, :591) — unlike SceneCompletionDataset, which
+            # integrates raw 0-255. Only the (currently discarded) color
+            # volume differs, but keep the stored volume byte-faithful.
+            vol.integrate(rgb / 255.0, depth, cam_intr, final_pose)
             r["tsdf_vol"] = vol.get_volume()[0]
         else:
             r["tsdf_vol"] = np.ones(1, np.float32)
@@ -695,9 +719,14 @@ class ObjectLocalizationDataset(SceneUnderstandDataset):
                 r["output_label_pts"] = o["output_label_pts"]
 
         if cfg.xyz_pts_noise > 0:
-            r["output_xyz_pts"] = r["output_xyz_pts"] + rng.randn(
-                *r["output_xyz_pts"].shape
-            ).astype(np.float32) * cfg.xyz_pts_noise
+            # GT-less (inference-style) scenes have no output_xyz_pts; the
+            # reference crashes there (dataset.py:1227-1233 unguarded) so
+            # skipping is strictly more usable and cannot diverge from any
+            # working reference configuration
+            if "output_xyz_pts" in r:
+                r["output_xyz_pts"] = r["output_xyz_pts"] + rng.randn(
+                    *r["output_xyz_pts"].shape
+                ).astype(np.float32) * cfg.xyz_pts_noise
             r["input_xyz_pts"] = r["input_xyz_pts"] + rng.randn(
                 *r["input_xyz_pts"].shape
             ).astype(np.float32) * cfg.xyz_pts_noise

@@ -269,3 +269,55 @@ def test_resize_nearest_exact_matches_torch():
             torch.from_numpy(maps)[:, None], size=out_hw, mode="nearest-exact"
         )[:, 0].numpy()
         np.testing.assert_array_equal(got, ref)
+
+
+def test_vool_patch_masks_cutoff_on_x50_scale(scene_dir):
+    """Reference QUIRK: the VOOL reader multiplies saliencies by 50 BEFORE
+    the patch_mask cutoff (dataset.py:429 then :430-441), so 0.004 acts on
+    the x50 scale — unlike the OVSSC reader, which thresholds raw values
+    (dataset.py:1031-1047)."""
+    files = [f"scene_{i}.hdf5" for i in range(3)]
+    kw = dict(domain_randomization=False)
+    masks = ObjectLocalizationDataset(
+        str(scene_dir), files, _cfg(network_inputs=("patch_masks",), **kw)
+    )[0]
+    sals = ObjectLocalizationDataset(
+        str(scene_dir), files, _cfg(network_inputs=("saliency",), **kw)
+    )[0]
+    for k in ("input_target_saliency_pts", "input_reference_saliency_pts",
+              "input_description_saliency_pts"):
+        m = masks[k]
+        assert set(np.unique(m)) <= {0.0, 1.0}
+        # same (seed, epoch, idx) -> identical subsample draws, so the mask
+        # must be the x50-scale threshold of the saliency stream ...
+        np.testing.assert_array_equal(m, (sals[k] > 0.004).astype(np.float32))
+    # ... and NOT the raw-scale threshold (the pre-fix behavior)
+    t = masks["input_target_saliency_pts"]
+    raw_scale = (sals["input_target_saliency_pts"] / 50.0 > 0.004)
+    assert not np.array_equal(t, raw_scale.astype(np.float32))
+
+
+def test_dr_transform_failure_falls_back_to_identity(scene_dir, monkeypatch):
+    """The reference retries with transform=None on ANY exception
+    (dataset.py:558-569, :1207-1211); the real-world trigger raises
+    IndexError (empty in-bounds set -> replace=True retry on an empty
+    array), so a ValueError-only except would crash the run."""
+    from semantic_abstraction_tpu.data import datasets as dmod
+
+    real = dmod.transform_filter_subsample
+    raised = []
+
+    def raising(*args, **kwargs):
+        if kwargs.get("transform_matrix") is not None:
+            raised.append(1)
+            raise IndexError("index -1 is out of bounds for axis 0 with size 0")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dmod, "transform_filter_subsample", raising)
+    files = [f"scene_{i}.hdf5" for i in range(3)]
+    cfg = _cfg(domain_randomization=True)
+    s = SceneCompletionDataset(str(scene_dir), files, cfg)[0]
+    assert s["input_xyz_pts"].shape == (256, 3)
+    s = ObjectLocalizationDataset(str(scene_dir), files, cfg)[0]
+    assert s["input_xyz_pts"].shape == (256, 3)
+    assert raised, "DR never produced a transform; the fallback was not hit"
