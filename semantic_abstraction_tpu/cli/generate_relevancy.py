@@ -302,7 +302,12 @@ def cmd_dataset(args):
             all_labels = labels + ["mean"]
             results = []
             for rgb_key, img in images.items():
-                config = saliency_configs[args.saliency_config](img.shape[0])
+                # the dataset writer sizes crops from the SHORT side
+                # (reference generate_relevancy.py:75-80 img_dim=min);
+                # only the image demo uses h (reference :429)
+                config = saliency_configs[args.saliency_config](
+                    min(img.shape[:2])
+                )
                 # async dispatch: returns device arrays without blocking
                 maps_dev, feats_dev = sal.get_clip_saliency(
                     img, labels, [args.prompt], config,

@@ -357,7 +357,6 @@ class ClipSaliency:
         compute_dtype=jnp.float32,
         tile_batch_size: int = 32,
         prompt_batch_size: int = 32,
-        accum_chunk: int = 16,
         num_layers: int = 10,
         label_bucket: int = 0,
     ):
@@ -366,7 +365,6 @@ class ClipSaliency:
         self.compute_dtype = compute_dtype
         self.tile_batch_size = tile_batch_size
         self.prompt_batch_size = prompt_batch_size
-        self.accum_chunk = accum_chunk
         self.num_layers = num_layers
         # label_bucket > 0 pads the label axis up to a multiple before the
         # jitted extraction and slices the pad off after. The saliency
@@ -379,8 +377,7 @@ class ClipSaliency:
         self._text_jit = jax.jit(
             lambda tokens: encode_text(params["text"], tokens, cfg, jnp.float32)
         )
-        self._jitter_jit = jax.jit(jax.vmap(color_jitter, in_axes=(0, None)))
-        self._extract_jit = {}
+        self._visual_jit = {}
         self._accum_jit = {}
         self._convolve_jit = {}
         self._prep_jit = {}
@@ -421,25 +418,45 @@ class ClipSaliency:
                            tile_attn_mask=None) -> jax.Array:
         """CLIP image features of an (H, W, 3) uint8 image, optionally with
         a per-tile additive attention mask (reference
-        ClipWrapper.get_visual_feature, __init__.py:92-101)."""
-        from .model import encode_image
+        ClipWrapper.get_visual_feature, __init__.py:92-101).
 
-        img = jnp.asarray(
-            np.ascontiguousarray(rgb.transpose(2, 0, 1)), jnp.float32
-        )[None] / 255.0
+        Matches the reference clip_preprocess exactly: Resize(r, BICUBIC)
+        maps the SHORT side to r (long side to int(r * long / short),
+        torchvision truncation), then CenterCrop(r) — NOT an independent
+        anisotropic stretch of both axes.
+        """
+        h, w = int(rgb.shape[0]), int(rgb.shape[1])
         r = self.cfg.image_resolution
-        rm_h = jnp.asarray(resize_matrix(img.shape[2], r, "bicubic_pil"))
-        rm_w = jnp.asarray(resize_matrix(img.shape[3], r, "bicubic_pil"))
-        img = jnp.einsum("bchw,oh->bcow", img, rm_h)
-        img = jnp.einsum("bcow,pw->bcop", img, rm_w)
-        img = jnp.clip(img, 0.0, 1.0)
-        img = (img - jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]) / jnp.asarray(
-            CLIP_PIXEL_STD
-        )[:, None, None]
-        return encode_image(
-            self.params, img, self.cfg, self.compute_dtype,
-            tile_attn_mask=tile_attn_mask,
-        )[0]
+        if w <= h:
+            ow, oh = r, int(r * h / w)
+        else:
+            oh, ow = r, int(r * w / h)
+        mask_sig = (None if tile_attn_mask is None
+                    else jnp.shape(tile_attn_mask))
+        sig = (h, w, mask_sig)
+        if sig not in self._visual_jit:
+            rm_h = jnp.asarray(resize_matrix(h, oh, "bicubic_pil"))
+            rm_w = jnp.asarray(resize_matrix(w, ow, "bicubic_pil"))
+            top = int(round((oh - r) / 2.0))  # torchvision CenterCrop
+            left = int(round((ow - r) / 2.0))
+            from .model import encode_image
+
+            def run(params, img_u8, mask):
+                img = img_u8.astype(jnp.float32)[None] / 255.0
+                img = jnp.einsum("bchw,oh->bcow", img, rm_h)
+                img = jnp.einsum("bcow,pw->bcop", img, rm_w)
+                img = img[:, :, top:top + r, left:left + r]
+                img = jnp.clip(img, 0.0, 1.0)
+                img = (img - jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
+                       ) / jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
+                return encode_image(
+                    params, img, self.cfg, self.compute_dtype,
+                    tile_attn_mask=mask,
+                )[0]
+
+            self._visual_jit[sig] = jax.jit(run)
+        img_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+        return self._visual_jit[sig](self.params, img_u8, tile_attn_mask)
 
     # -- relevancy ----------------------------------------------------------
 
@@ -653,24 +670,50 @@ class ClipSaliency:
                 if config.augmentations > 0
                 else jnp.zeros((0, 2), jnp.uint32))
         images = self._prep_jit[sig_p](base_u8, keys)
-        canvases = [
-            self._scale_fn((h, w), plan, config, int(zw.shape[1]), n_images)(
-                self.params["visual"], images, zw
-            )
+        plan_canvases = [
+            (plan,
+             self._scale_fn((h, w), plan, config, int(zw.shape[1]), n_images)(
+                 self.params["visual"], images, zw
+             ))
             for plan in plans
             if plan.offsets.shape[0] > 0
         ]
-        # one combine dispatch; float16 output matches the reference's
-        # half-precision canvases (CLIP/clip/__init__.py:146-151) and
-        # halves the device->host readback
-        # cache key must carry the divisor (len(plans)): a crop config whose
-        # largest tile exceeds the image yields fewer canvases than plans,
-        # and a same-shaped call with a different config must not reuse a
-        # lambda with the wrong normalizer
-        sig_c = (len(canvases), len(plans), canvases[0].shape)
-        if sig_c not in self._combine_jit:
-            n_plans = len(plans)
-            self._combine_jit[sig_c] = jax.jit(
-                lambda cs: (sum(cs) / n_plans).astype(jnp.float16)
+        if not plan_canvases:
+            raise ValueError(
+                f"no crop in the saliency config fits a {h}x{w} image "
+                f"(tile sizes {[p.tile_size for p in plans]})"
             )
-        return self._combine_jit[sig_c](canvases)
+        # The reference keys canvases AND counts by tile_size
+        # (__init__.py:148-153, :231-234): duplicate-size crops share one
+        # canvas+count, and the final mean divides by the number of UNIQUE
+        # tile sizes (len(counts)) — counting even sizes whose crops fit
+        # no tiles (their zero canvases still inflate the divisor).
+        n_unique = len({p.tile_size for p in plans})
+        by_size: dict = {}
+        for plan, cv in plan_canvases:
+            by_size.setdefault(plan.tile_size, []).append((plan, cv))
+        if all(len(v) == 1 for v in by_size.values()):
+            # common path (published configs have distinct sizes): one
+            # combine dispatch; float16 output matches the reference's
+            # half-precision canvases (CLIP/clip/__init__.py:146-151) and
+            # halves the device->host readback. Cache key carries the
+            # divisor: a config whose largest tile exceeds the image
+            # yields fewer canvases than sizes, and a same-shaped call
+            # with a different config must not reuse the wrong normalizer.
+            canvases = [cv for _, cv in plan_canvases]
+            sig_c = (len(canvases), n_unique, canvases[0].shape)
+            if sig_c not in self._combine_jit:
+                self._combine_jit[sig_c] = jax.jit(
+                    lambda cs: (sum(cs) / n_unique).astype(jnp.float16)
+                )
+            return self._combine_jit[sig_c](canvases)
+        # duplicate-tile-size path (exotic; eager for parity over speed):
+        # un-normalize each canvas by its own count map, merge sums, and
+        # renormalize by the SHARED count (1e-5 seeded once, not per crop)
+        groups = []
+        for items in by_size.values():
+            s = sum(cv * jnp.asarray(p.count)[None] for p, cv in items)
+            shared = (sum(p.count for p, _ in items)
+                      - (len(items) - 1) * np.float32(1e-5))
+            groups.append(s / jnp.asarray(shared)[None])
+        return (sum(groups) / n_unique).astype(jnp.float16)

@@ -114,7 +114,7 @@ def tiny_saliency():
         text_width=32, text_heads=2, text_layers=2,
     )
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    return ClipSaliency(params, cfg, tile_batch_size=8, accum_chunk=4,
+    return ClipSaliency(params, cfg, tile_batch_size=8,
                         num_layers=0)
 
 
@@ -149,7 +149,7 @@ def test_label_bucket_matches_exact(tiny_saliency):
     labels = ["chair", "table", "sofa"]
     bucketed = ClipSaliency(
         tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
-        accum_chunk=4, num_layers=0, label_bucket=4,
+        num_layers=0, label_bucket=4,
     )
     maps_b, feats_b = bucketed.get_clip_saliency(
         img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)

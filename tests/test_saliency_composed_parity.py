@@ -259,3 +259,90 @@ def test_composed_text_feature_parity(pipelines):
     _, returned = ours.get_clip_saliency(img, labels, tuple(prompts), config)
     np.testing.assert_allclose(np.asarray(returned), ref_feats,
                                atol=2e-4, rtol=1e-3)
+
+
+def test_composed_duplicate_tile_size_parity(pipelines):
+    """Crops sharing a tile_size: the reference keys canvases AND counts by
+    tile_size (__init__.py:148-153, :231-234), so duplicate-size crops merge
+    into one canvas normalized by the SHARED count, and the final mean
+    divides by the number of UNIQUE sizes."""
+    W, ours = pipelines
+    W.clip_gradcam.templates = ["a photo of a {}"]
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    labels = ["chair", "table"]
+    crops = [
+        {"tile_size": 64, "stride": 32},
+        {"tile_size": 64, "stride": 16},  # duplicate size, different stride
+        {"tile_size": 32, "stride": 16},
+    ]
+    ref_maps, _ = W.get_clip_saliency(
+        img=img,
+        text_labels=labels,
+        prompts=["a photo of a {}"],
+        horizontal_flipping=False,
+        positive_attn_only=True,
+        augmentations=0,
+        cropping_augmentations=crops,
+    )
+    ref_maps = ref_maps.float().numpy()
+
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 32), CropSpec(64, 16), CropSpec(32, 16)),
+        horizontal_flipping=False,
+        augmentations=0,
+    )
+    maps, _ = ours.get_clip_saliency(
+        img, labels, ("a photo of a {}",), config
+    )
+    maps = np.asarray(maps).astype(np.float32)
+    assert maps.shape == ref_maps.shape == (2, 64, 96)
+    scale = np.abs(ref_maps).max()
+    np.testing.assert_allclose(maps, ref_maps, atol=2e-2 * scale, rtol=2e-2)
+    cc = np.corrcoef(maps.ravel(), ref_maps.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_get_visual_feature_non_square_parity(pipelines):
+    """Reference clip_preprocess = Resize(r, BICUBIC) on the SHORT side +
+    CenterCrop(r) (clip.load's transform), not an anisotropic stretch."""
+    from PIL import Image
+
+    W, ours = pipelines
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 255, (96, 128, 3), dtype=np.uint8)  # non-square
+    r = SMALL.image_resolution
+
+    # reference preprocess, reproduced with PIL (torchvision absent):
+    # short side h=96 -> r, long side -> int(r * 128 / 96), then center crop
+    h, w = img.shape[:2]
+    oh, ow = (r, int(r * w / h)) if h <= w else (int(r * h / w), r)
+    pil = Image.fromarray(img).resize((ow, oh), Image.BICUBIC)
+    x = np.asarray(pil).astype(np.float32) / 255.0
+    top = int(round((oh - r) / 2.0))
+    left = int(round((ow - r) / 2.0))
+    x = x[top:top + r, left:left + r]
+    x = (x - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
+        [0.26862954, 0.26130258, 0.27577711]
+    )
+    t = torch.from_numpy(x.transpose(2, 0, 1).astype(np.float32))[None]
+    with torch.no_grad():
+        ref_feat = W.clip_model.encode_image(t).squeeze(0).numpy()
+
+    got = np.asarray(ours.get_visual_feature(img)).astype(np.float32)
+    assert got.shape == ref_feat.shape
+    # PIL resize vs the resize-matrix matmul agree to float noise; the
+    # encoder amplifies it slightly
+    np.testing.assert_allclose(got, ref_feat, atol=5e-3, rtol=5e-3)
+    cc = np.corrcoef(got, ref_feat)[0, 1]
+    assert cc > 0.9999, cc
+
+
+def test_saliency_no_fitting_crop_raises(pipelines):
+    _, ours = pipelines
+    img = np.zeros((16, 16, 3), np.uint8)
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16),), horizontal_flipping=False, augmentations=0
+    )
+    with pytest.raises(ValueError, match="no crop"):
+        ours.get_clip_saliency(img, ["chair"], ("a photo of a {}",), config)
