@@ -58,7 +58,8 @@ def main(argv=None):
 
     maybe_initialize_distributed()  # multi-host (reference utils.py:131-137)
     mesh = make_mesh(args.num_devices) if args.num_devices != 1 else None
-    setup = setup_experiment(args, task="vool", approach=args.approach)
+    setup = setup_experiment(args, task="vool", approach=args.approach,
+                             mesh=mesh)
     text_encoder = make_text_encoder(args)
     if mesh is not None:
         with mesh:

@@ -96,13 +96,17 @@ DEVICE_KEYS = {
 }
 
 
+def _bounds_from_args(args):
+    """argparse --scene_bounds arrives flat (6 floats) or nested."""
+    b = args.scene_bounds
+    return (((b[0], b[1], b[2]), (b[3], b[4], b[5])) if len(b) == 6
+            else tuple(map(tuple, b)))
+
+
 def completion_cfg_from_args(
     args, network_inputs=None, output_dim=1, decoder_concat_xyz_pts=None
 ) -> SemAbs3DConfig:
-    b = args.scene_bounds
-    bounds = ((b[0], b[1], b[2]), (b[3], b[4], b[5])) if len(b) == 6 else tuple(
-        map(tuple, b)
-    )
+    bounds = _bounds_from_args(args)
     return SemAbs3DConfig(
         voxel_shape=tuple(args.voxel_shape),
         scene_bounds=bounds,
@@ -169,10 +173,7 @@ def model_cfg_from_args(task: str, approach: str, args):
 
 
 def data_cfg_from_args(args) -> DataConfig:
-    b = args.scene_bounds
-    bounds = ((b[0], b[1], b[2]), (b[3], b[4], b[5])) if len(b) == 6 else tuple(
-        map(tuple, b)
-    )
+    bounds = _bounds_from_args(args)
     return DataConfig(
         scene_bounds=bounds,
         network_inputs=tuple(args.network_inputs),
@@ -199,9 +200,14 @@ def data_cfg_from_args(args) -> DataConfig:
 
 
 def setup_experiment(args, task: str, approach: str,
-                     return_vis: bool = False) -> dict:
+                     return_vis: bool = False, mesh=None) -> dict:
     """Split loading + per-split datasets + model/optimizer/state
-    (reference utils.py:122-215 + get_net :237-294)."""
+    (reference utils.py:122-215 + get_net :237-294).
+
+    Pass the actual ``mesh`` train() will run on so the LR schedule's
+    step count is sized from the real global batch; otherwise it is
+    derived from args (correct for the CLIs, which build the mesh from
+    args.num_devices)."""
     split_name = "ssc_split.pkl" if task == "ovssc" else "vool_split.pkl"
     split_path = os.path.join(args.file_path, split_name)
     with open(split_path, "rb") as f:
@@ -241,7 +247,9 @@ def setup_experiment(args, task: str, approach: str,
     # README.md:241-255): the global batch scales with the mesh
     from ..parallel import mesh_size_from_args
 
-    global_batch = max(args.batch_size, 1) * mesh_size_from_args(args)
+    n_mesh = (int(mesh.devices.size) if mesh is not None
+              else mesh_size_from_args(args))
+    global_batch = max(args.batch_size, 1) * n_mesh
     steps_per_epoch = max(1, len(datasets.get("train", [])) // global_batch)
     tx = make_optimizer(
         lr=args.lr,
@@ -291,12 +299,15 @@ def device_batch(batch: dict, task: str, mesh=None,
         b = len(batch["target_obj_name"])
         out["target_obj_features"] = np.asarray(text_encoder(t)).reshape(b, -1, 512)
         out["reference_obj_features"] = np.asarray(text_encoder(r)).reshape(b, -1, 512)
-    arrs = {k: jnp.asarray(v) for k, v in out.items()}
     if mesh is not None:
+        # hand the numpy dict straight to shard_batch: device_put with the
+        # sharding does ONE host->device transfer per array; jnp.asarray
+        # first would stage everything on device 0 and reshard (and the
+        # multi-process assembly would even read it back to host)
         from ..parallel import shard_batch
 
-        arrs = shard_batch(arrs, mesh)
-    return arrs
+        return shard_batch(out, mesh)
+    return {k: jnp.asarray(v) for k, v in out.items()}
 
 
 def eval_cutoffs_for(task: str, detailed: bool):
@@ -308,12 +319,28 @@ def eval_cutoffs_for(task: str, detailed: bool):
 def _local_rows(arr) -> np.ndarray:
     """This process's batch rows of a possibly cross-process-sharded array
     (in local index order). Fully-addressable arrays pass straight through
-    np.asarray, so single-host behavior is unchanged."""
+    np.asarray, so single-host behavior is unchanged.
+
+    The sharded axis is DETECTED, not assumed: the detailed-stat arrays
+    are (C, B, P) with the batch on axis 1 (cutoffs replicated), while the
+    per-sample scalars are (B,) — sorting/concatenating on a replicated
+    axis would silently duplicate it."""
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        shards = list(arr.addressable_shards)
+        axis = 0
+        for d in range(arr.ndim):
+            starts = {s.index[d].start or 0 for s in shards}
+            if len(starts) > 1:
+                axis = d
+                break
+        shards.sort(key=lambda s: s.index[axis].start or 0)
+        seen, keep = set(), []
+        for s in shards:  # drop replicated duplicates of the same slice
+            st = s.index[axis].start or 0
+            if st not in seen:
+                seen.add(st)
+                keep.append(s)
+        return np.concatenate([np.asarray(s.data) for s in keep], axis=axis)
     return np.asarray(arr)
 
 
@@ -346,6 +373,20 @@ def _sync_padded_shapes(batch: dict, task: str) -> dict:
             ]
             out[k] = np.pad(batch[k], pads,
                             constant_values=_PAD_VALUES.get(k, 0))
+    # the string-list meta fields (patch_labels, *_obj_name,
+    # spatial_relation_name) pair row-for-row with padding_mask's desc
+    # axis in detailed_stats_frame — pad them to the same global width or
+    # the DataFrame columns diverge in length across processes
+    if "padding_mask" in target:
+        from ..data.loader import _PAD_STRINGS
+
+        p_global = int(target["padding_mask"][0])
+        for k, fill in _PAD_STRINGS.items():
+            if k in out and isinstance(out[k], list):
+                out[k] = [
+                    list(row) + [fill] * (p_global - len(row))
+                    for row in out[k]
+                ]
     return out
 
 
@@ -373,8 +414,18 @@ def run_eval_split(
             batch = _sync_padded_shapes(batch, task)
         db = device_batch(batch, task, mesh, text_encoder)
         aux = eval_step(state.params, db)
-        scalars["loss"].append(float(aux["loss"]))
-        scalars["accuracy"].append(float(aux["accuracy"]))
+        sample_pad_early = np.asarray(
+            batch.get("_sample_pad", np.zeros(0, bool))
+        )
+        # per-SAMPLE scalars, wrap-pad duplicates dropped: batch-level
+        # pmeans would bias the logged means toward duplicated scenes
+        # (the detailed stats already NaN them; the scalars must too)
+        lps = _local_rows(aux["loss_per_sample"])
+        aps = _local_rows(aux["accuracy_per_sample"])
+        valid = (~sample_pad_early if sample_pad_early.size
+                 else np.ones(len(lps), bool))
+        scalars["loss"].extend(np.asarray(lps)[valid].tolist())
+        scalars["accuracy"].extend(np.asarray(aps)[valid].tolist())
         stats = point_and_voxel_stats_jit(
             aux["logits"], db["output_label_pts"], db["output_xyz_pts"],
             aux["ignore"], cutoffs, scene_bounds, voxel_shapes,
@@ -428,6 +479,13 @@ def run_eval_split(
         detailed = (
             pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         )
+        # scalar samples too (reference all_reduces scalar stats across
+        # ranks, utils.py:427-431) — every process then logs identical,
+        # global-sample means
+        gathered = all_gather_host_objects(scalars)
+        scalars = {
+            k: [x for part in gathered for x in part[k]] for k in scalars
+        }
     means = {k: float(np.mean(v)) if v else float("nan") for k, v in scalars.items()}
     return means, detailed
 
@@ -464,21 +522,24 @@ def train(
                                compute_dtype=compute_dtype)
 
     writers = {}
-    try:
-        from tensorboardX import SummaryWriter
+    if jax.process_index() == 0:  # non-rank0 logging silenced like the
+        try:                      # reference (utils.py:139-142)
+            from tensorboardX import SummaryWriter
 
-        writers = {
-            k: SummaryWriter(os.path.join(log_dir, k))
-            for k in setup["datasets"]
-        }
-    except ImportError:
-        pass
+            writers = {
+                k: SummaryWriter(os.path.join(log_dir, k))
+                for k in setup["datasets"]
+            }
+        except ImportError:
+            pass
 
     # tracing/profiling (SURVEY §5: the reference has only a wall-clock
     # print; here SEMABS_PROFILE_DIR=<dir> captures a jax.profiler trace of
     # the first training steps, viewable in tensorboard/xprof)
     profile_dir = os.environ.get("SEMABS_PROFILE_DIR")
     profile_steps = int(os.environ.get("SEMABS_PROFILE_STEPS", "3"))
+    profile_active = False
+    profile_stop_at = -1
 
     detailed_path = os.path.join(log_dir, "detailed_stats.pkl")
     all_detailed = []
@@ -515,12 +576,20 @@ def train(
                     len(ds), num_shards=n_proc, shard_id=proc_id,
                     shuffle=is_train, seed=args.seed, drop_last=is_train,
                 )
+                # eval batches need static-shape padding whenever samples
+                # are stacked (>1 per batch: return_vis eval samples are
+                # ragged) — not only when a mesh shards them; wrap-padded
+                # full batches keep the compiled shapes unique and their
+                # duplicates are NaN'd/dropped downstream
+                pad_eval = (not is_train) and (
+                    mesh is not None or local_batch > 1
+                )
                 loader = DataLoader(
                     ds, batch_size=local_batch,
                     num_workers=args.num_workers, sampler=sampler,
                     drop_last=is_train,
-                    pad_to_full_batches=(not is_train) and mesh is not None,
-                    pad_static_shapes=(not is_train) and mesh is not None,
+                    pad_to_full_batches=pad_eval,
+                    pad_static_shapes=pad_eval,
                 )
                 loader.set_epoch(epoch)
                 if is_train:
@@ -540,13 +609,19 @@ def train(
                     for bi, batch in enumerate(loader):
                         if max_steps_per_epoch and bi >= max_steps_per_epoch:
                             break
-                        if profile_dir and global_step == 1:
+                        # trigger on the SECOND local step (first is the
+                        # compile), not global_step (which starts past the
+                        # trigger after a --load resume)
+                        if profile_dir and not profile_active and bi == 1:
                             jax.profiler.start_trace(profile_dir)
+                            profile_active = True
+                            profile_stop_at = bi + profile_steps
                         db = device_batch(batch, task, mesh, text_encoder)
                         state, stats = train_step(state, db)
-                        if profile_dir and global_step == 1 + profile_steps:
+                        if profile_active and bi == profile_stop_at:
                             jax.block_until_ready(stats)
                             jax.profiler.stop_trace()
+                            profile_active = False
                             profile_dir = None
                         global_step += 1
                         pending.append((global_step, stats))
@@ -579,16 +654,25 @@ def train(
                                 )
                     logging.info("epoch %d %s: %s", epoch, split, means)
             except Exception:
+                if profile_active:  # don't leave a trace open for the run
+                    jax.profiler.stop_trace()
+                    profile_active = False
+                    profile_dir = None
                 logging.exception("split %s failed; continuing", split)
                 continue
-        save_checkpoint(
-            os.path.join(log_dir, "latest.ckpt"), state, epoch + 1,
-        )
-        if (epoch + 1) % args.save_freq == 0:
+        # rank-0-only writes (reference is_main_process() guards,
+        # utils.py:547-556): N processes writing latest.ckpt.tmp on a
+        # shared filesystem interleave bytes before os.replace
+        if jax.process_index() == 0:
             save_checkpoint(
-                os.path.join(log_dir, f"ckpt_{epoch}.ckpt"), state, epoch + 1,
+                os.path.join(log_dir, "latest.ckpt"), state, epoch + 1,
             )
-        if all_detailed:
-            with open(detailed_path, "wb") as f:
-                pickle.dump(pd.concat(all_detailed, ignore_index=True), f)
+            if (epoch + 1) % args.save_freq == 0:
+                save_checkpoint(
+                    os.path.join(log_dir, f"ckpt_{epoch}.ckpt"), state,
+                    epoch + 1,
+                )
+            if all_detailed:
+                with open(detailed_path, "wb") as f:
+                    pickle.dump(pd.concat(all_detailed, ignore_index=True), f)
     return state

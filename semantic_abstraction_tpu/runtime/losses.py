@@ -54,11 +54,23 @@ def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
     return total / jnp.maximum(count, 1.0)
 
 
+def masked_mean_per_sample(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """(B, ...) masked mean over all non-batch axes -> (B,).
+
+    Used by eval to report scalars per SAMPLE so sharded eval can drop
+    wrap-pad duplicate samples from the logged means (the batch-level
+    pmean cannot un-mix them)."""
+    mask = mask.astype(values.dtype)
+    axes = tuple(range(1, values.ndim))
+    return (values * mask).sum(axes) / jnp.maximum(mask.sum(axes), 1.0)
+
+
 def ovssc_loss(
     logits: jax.Array,
     output_label_pts: jax.Array,
     ignore_mask: jax.Array,
     balance_positive_negative: bool = False,
+    per_sample: bool = False,
 ) -> dict:
     """OVSSC loss + accuracy (reference train_ovssc.py:125-150).
 
@@ -70,7 +82,11 @@ def ovssc_loss(
     keep = ~ignore_mask
     loss = masked_mean(bce, keep)
     correct = ((logits > 0.0) == (labels > 0.5)).astype(jnp.float32)
-    return {"loss": loss, "accuracy": masked_mean(correct, keep)}
+    stats = {"loss": loss, "accuracy": masked_mean(correct, keep)}
+    if per_sample:
+        stats["loss_per_sample"] = masked_mean_per_sample(bce, keep)
+        stats["accuracy_per_sample"] = masked_mean_per_sample(correct, keep)
+    return stats
 
 
 def vool_loss(
@@ -78,6 +94,7 @@ def vool_loss(
     output_label_pts: jax.Array,
     ignore_mask: jax.Array,
     balance_positive_negative: bool = False,
+    per_sample: bool = False,
 ) -> dict:
     """VOOL loss + accuracy (reference train_vool.py:164-186).
 
@@ -90,7 +107,14 @@ def vool_loss(
     bce = bce_with_logits(logits.astype(jnp.float32), labels) * weight
     loss = bce.mean()
     correct = ((logits > 0.0) == (labels > 0.5)).astype(jnp.float32)
-    return {"loss": loss, "accuracy": masked_mean(correct, ~ignore_mask)}
+    stats = {"loss": loss, "accuracy": masked_mean(correct, ~ignore_mask)}
+    if per_sample:
+        axes = tuple(range(1, bce.ndim))
+        stats["loss_per_sample"] = bce.mean(axes)  # unmasked, like loss
+        stats["accuracy_per_sample"] = masked_mean_per_sample(
+            correct, ~ignore_mask
+        )
+    return stats
 
 
 def ovssc_ignore_mask(

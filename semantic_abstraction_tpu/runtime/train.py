@@ -70,7 +70,8 @@ def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def ovssc_forward_loss(params, cfg: SemAbs3DConfig, batch: dict,
                        balance_positive_negative: bool = False,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       per_sample: bool = False):
     """SemAbs3D OVSSC loss (reference train_ovssc.py:81-169)."""
     logits = semabs3d_forward(
         params, cfg,
@@ -86,13 +87,14 @@ def ovssc_forward_loss(params, cfg: SemAbs3DConfig, batch: dict,
         batch.get("out_of_frustum_pts_mask"),
     )
     stats = ovssc_loss(logits, batch["output_label_pts"], ignore,
-                       balance_positive_negative)
+                       balance_positive_negative, per_sample=per_sample)
     return stats["loss"], {**stats, "logits": logits, "ignore": ignore}
 
 
 def semaware_ovssc_forward_loss(params, cfg: SemanticAwareOVSSCConfig, batch,
                                 balance_positive_negative=False,
-                                compute_dtype=jnp.bfloat16):
+                                compute_dtype=jnp.bfloat16,
+                                per_sample=False):
     logits = semantic_aware_ovssc_forward(
         params, cfg,
         input_xyz_pts=batch["input_xyz_pts"],
@@ -108,13 +110,13 @@ def semaware_ovssc_forward_loss(params, cfg: SemanticAwareOVSSCConfig, batch,
         batch.get("out_of_frustum_pts_mask"),
     )
     stats = ovssc_loss(logits, batch["output_label_pts"], ignore,
-                       balance_positive_negative)
+                       balance_positive_negative, per_sample=per_sample)
     return stats["loss"], {**stats, "logits": logits, "ignore": ignore}
 
 
 def vool_forward_loss(params, cfg: SemAbsVOOLConfig, batch,
                       balance_positive_negative=False,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16, per_sample=False):
     """SemAbsVOOL loss (reference train_vool.py:118-206)."""
     logits = semabs_vool_forward(
         params, cfg,
@@ -129,13 +131,13 @@ def vool_forward_loss(params, cfg: SemAbsVOOLConfig, batch,
     )
     ignore = batch["padding_mask"][..., None] | batch["out_of_bounds_pts"].astype(bool)
     stats = vool_loss(logits, batch["output_label_pts"], ignore,
-                      balance_positive_negative)
+                      balance_positive_negative, per_sample=per_sample)
     return stats["loss"], {**stats, "logits": logits, "ignore": ignore}
 
 
 def semaware_vool_forward_loss(params, cfg: SemanticAwareVOOLConfig, batch,
                                balance_positive_negative=False,
-                               compute_dtype=jnp.bfloat16):
+                               compute_dtype=jnp.bfloat16, per_sample=False):
     logits = semantic_aware_vool_forward(
         params, cfg,
         input_xyz_pts=batch["input_xyz_pts"],
@@ -150,13 +152,13 @@ def semaware_vool_forward_loss(params, cfg: SemanticAwareVOOLConfig, batch,
     )
     ignore = batch["padding_mask"][..., None] | batch["out_of_bounds_pts"].astype(bool)
     stats = vool_loss(logits, batch["output_label_pts"], ignore,
-                      balance_positive_negative)
+                      balance_positive_negative, per_sample=per_sample)
     return stats["loss"], {**stats, "logits": logits, "ignore": ignore}
 
 
 def clipspatial_vool_forward_loss(params, cfg: ClipSpatialVOOLConfig, batch,
                                   balance_positive_negative=False,
-                                  compute_dtype=jnp.bfloat16):
+                                  compute_dtype=jnp.bfloat16, per_sample=False):
     logits = clip_spatial_vool_forward(
         params, cfg,
         input_xyz_pts=batch["input_xyz_pts"],
@@ -168,7 +170,7 @@ def clipspatial_vool_forward_loss(params, cfg: ClipSpatialVOOLConfig, batch,
     )
     ignore = batch["padding_mask"][..., None] | batch["out_of_bounds_pts"].astype(bool)
     stats = vool_loss(logits, batch["output_label_pts"], ignore,
-                      balance_positive_negative)
+                      balance_positive_negative, per_sample=per_sample)
     return stats["loss"], {**stats, "logits": logits, "ignore": ignore}
 
 
@@ -251,7 +253,8 @@ def make_eval_step(forward_loss: Callable, cfg, mesh=None, axis_name="data",
     """
 
     def step_fn(params, batch):
-        _, aux = forward_loss(params, cfg, batch, False, compute_dtype)
+        _, aux = forward_loss(params, cfg, batch, False, compute_dtype,
+                              per_sample=True)
         if mesh is not None:
             aux = dict(aux)
             aux["loss"] = jax.lax.pmean(aux["loss"], axis_name)
@@ -265,6 +268,9 @@ def make_eval_step(forward_loss: Callable, cfg, mesh=None, axis_name="data",
     out_specs = {
         "loss": P(), "accuracy": P(), "logits": P(axis_name),
         "ignore": P(axis_name),
+        # per-sample scalars stay sharded so the host can drop wrap-pad
+        # duplicate samples from the logged means
+        "loss_per_sample": P(axis_name), "accuracy_per_sample": P(axis_name),
     }
     sharded = jax.shard_map(
         step_fn, mesh=mesh,
