@@ -112,8 +112,12 @@ def save_args(log_dir: str, args) -> None:
 
 
 def load_args(path: str) -> dict:
+    """Load an args.pkl as a dict. The reference pickles the raw
+    argparse.Namespace (reference utils.py:160-172), so released-artifact
+    args.pkl files arrive as Namespaces — normalize both formats."""
     with open(path, "rb") as fp:
-        return pickle.load(fp)
+        obj = pickle.load(fp)
+    return obj if isinstance(obj, dict) else vars(obj)
 
 
 def setup_logging():

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import logging
 import os
-import pickle
 
 
 def main(argv=None):
@@ -35,20 +34,44 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     common.setup_logging()
+    if not args.load:
+        parser.error("--load is required (checkpoint to evaluate)")
+    if args.task == "ovssc" and args.approach == "clip_spatial":
+        parser.error("clip_spatial is a VOOL-only approach")
 
+    cli_num_workers = args.num_workers
     args_pkl = os.path.join(os.path.dirname(args.load), "args.pkl")
     if os.path.exists(args_pkl):
         saved = common.load_args(args_pkl)
         for k, v in saved.items():
-            if k in ("file_path", "load", "task", "num_devices", "max_batches",
-                     "clip_ckpt"):
+            # keep the eval-invocation flags; restore clip_ckpt from
+            # training unless the user passed one (a semantic_aware VOOL
+            # eval with random CLIP text features would run to completion
+            # and log meaningless metrics)
+            if k in ("file_path", "load", "task", "num_devices",
+                     "max_batches", "num_workers"):
+                continue
+            if k == "clip_ckpt" and args.clip_ckpt is not None:
                 continue
             setattr(args, k, v)
+        args.num_workers = cli_num_workers  # reference re-forces it
+        # (reference eval.py:29: num_workers pinned after the restore)
+    elif args.approach == "semantic_aware":
+        # the train CLIs normalize this before saving args.pkl
+        # (train_ovssc.py: semantic_aware -> rgb inputs); without an
+        # args.pkl the dataset would emit 1-channel saliency features
+        # against a 3-channel rgb model
+        args.network_inputs = ["rgb"]
     args.domain_randomization = False
     args.batch_size = 1
     args.balance_spatial_sampling = False
-
-    import numpy as np
+    if (args.task == "vool" and args.approach == "semantic_aware"
+            and not args.clip_ckpt):
+        logging.warning(
+            "semantic_aware VOOL eval without --clip-ckpt: text features "
+            "come from a RANDOMLY-initialized CLIP and metrics will be "
+            "meaningless"
+        )
 
     from ..parallel import make_mesh, maybe_initialize_distributed
     from ..runtime.experiment import (
@@ -83,7 +106,7 @@ def main(argv=None):
         text_encoder = make_text_encoder(args)
 
     bounds = setup["datasets"][next(iter(setup["datasets"]))].cfg.scene_bounds
-    cutoffs = tuple(float(c) for c in np.arange(-2.5, 0, 0.1))
+    cutoffs = eval_cutoffs_for(args.task, detailed=True)
     voxel_shapes = tuple(
         (s, s, s) for s in (args.voxel_shapes or (32, 64))
     )
@@ -95,6 +118,15 @@ def main(argv=None):
             f"to be a positive multiple of the process count ({n_proc}); "
             "each process must own >= 1 device's batch slot"
         )
+    if mesh is not None and n_proc > 1:
+        local = [d for d in mesh.devices.flat
+                 if d.process_index == proc_id]
+        if not local:
+            raise SystemExit(
+                f"process {proc_id} owns no device of the {n_batch}-device "
+                "mesh (make_mesh slices the global device list) — use "
+                "--num_devices spanning all hosts or run single-process"
+            )
     all_stats = []
     import contextlib
 
@@ -122,9 +154,13 @@ def main(argv=None):
             detailed["epoch"] = setup["start_epoch"]
             all_stats.append(detailed)
             logging.info("%s: %s", split, means)
-            stats_path = os.path.splitext(args.load)[0] + "_eval_stats.pkl"
-            pd.concat(all_stats, ignore_index=True).to_pickle(stats_path)
-            logging.info("dumped stats to %s", stats_path)
+            if jax.process_index() == 0:  # reference eval.py:90 rank guard
+                stats_path = (os.path.splitext(args.load)[0]
+                              + "_eval_stats.pkl")
+                tmp = stats_path + ".tmp"
+                pd.concat(all_stats, ignore_index=True).to_pickle(tmp)
+                os.replace(tmp, stats_path)
+                logging.info("dumped stats to %s", stats_path)
 
 
 if __name__ == "__main__":
