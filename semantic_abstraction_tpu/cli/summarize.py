@@ -92,10 +92,14 @@ def summarize_vool(approaches: dict, metric="voxel32x32x32_iou"):
     (reference summarize.py:94-213)."""
     import pandas as pd
 
+    if not approaches:
+        raise ValueError("summarize_vool needs at least one approach")
     rows = {"approach": [], "relation": [], "novel rooms": [],
             "novel visual": [], "novel vocab": [], "novel class": []}
-    first = next(iter(approaches.values()))
-    relations = [r for r in first.spatial_relation_name.unique() if r != "[pad]"]
+    # relation set comes from the Ours stats like the reference
+    # (summarize.py:115), not whichever approach happens to be first
+    src = approaches.get("Ours", next(iter(approaches.values())))
+    relations = [r for r in src.spatial_relation_name.unique() if r != "[pad]"]
     for name, df0 in approaches.items():
         df0 = df0.copy()
         df0["room_id"] = df0["scene_id"].apply(_room_id)
@@ -121,16 +125,22 @@ def summarize_vool(approaches: dict, metric="voxel32x32x32_iou"):
             d = df[(df.split == "unseen_instances_synonyms") & novel_vocab]
             rows["novel vocab"].append(_nanmean(d[metric]))
     out = pd.DataFrame.from_dict(rows)
-    # append per-approach mean rows
-    means = []
+    # per-approach mean rows, INTERLEAVED after each approach's relation
+    # block like the reference's iloc splice (summarize.py:158-183), with
+    # the reference's NaN-PROPAGATING np mean: a missing per-relation cell
+    # must surface as a nan mean, not silently shrink the denominator
+    blocks = []
     for name in approaches:
         sub = out[out.approach == name]
-        means.append({
+        mean_row = {
             "approach": name, "relation": "mean",
-            **{c: sub[c].mean() for c in ("novel rooms", "novel visual",
-                                          "novel vocab", "novel class")},
-        })
-    return pd.concat([out, pd.DataFrame(means)], ignore_index=True)
+            **{c: float(np.asarray(sub[c], np.float64).mean())
+               for c in ("novel rooms", "novel visual",
+                         "novel vocab", "novel class")},
+        }
+        blocks.append(pd.concat([sub, pd.DataFrame([mean_row])],
+                                ignore_index=True))
+    return pd.concat(blocks, ignore_index=True)
 
 
 def summarize_nyu(approaches: dict, metric="voxel60x60x60_iou"):
@@ -146,7 +156,15 @@ def summarize_nyu(approaches: dict, metric="voxel60x60x60_iou"):
         row = {"approach": name}
         for c in NYU_CLASSES:
             row[c] = df[df.label == c][metric].mean()
-        row["mean"] = np.array(df.groupby("label")[metric].mean()).mean()
+        # exclude the "" pad-label group our static-shape eval padding
+        # introduces (its metrics are all NaN by construction); the
+        # reference eval path has no padded patches (subsample=-1) so its
+        # groupby never sees one. The mean itself stays NaN-PROPAGATING
+        # over real classes like the reference (summarize.py:259-261).
+        lab_means = np.array(
+            df[df.label != ""].groupby("label")[metric].mean()
+        )
+        row["mean"] = float(lab_means.mean()) if lab_means.size else float("nan")
         rows.append(row)
     return pd.DataFrame(rows)
 
