@@ -89,6 +89,11 @@ def prep_data(args, scene_bounds, approach="semantic_abstraction"):
         data = pickle.load(f)
     rgb = data["rgb"]
     depth = data["depth"].astype(np.float32)
+    if "img_shape" in data:  # reference visualize.py:80-82
+        import cv2
+
+        rgb = cv2.resize(rgb, data["img_shape"])
+        depth = cv2.resize(depth, data["img_shape"])
     cam_intr = data["cam_intr"]
     cam_extr = data["cam_extr"]
     descriptions = data.get("descriptions", [])
@@ -145,10 +150,25 @@ def prep_data(args, scene_bounds, approach="semantic_abstraction"):
     if approach == "semantic_aware":
         names = sorted(set(ovssc_obj_classes) | set(target_classes)
                        | set(reference_classes))
+        # VOOL's text encoder is RAW encode_text (reference
+        # ClipWrapper.get_clip_text_feature; train_vool.make_text_encoder)
         feats = np.asarray(sal.text_features(names)) if names else np.zeros(
             (0, 512), np.float32
         )
         out["text_features"] = {n: feats[i] for i, n in enumerate(names)}
+        # ... but OVSSC semantic_aware checkpoints were TRAINED on the
+        # dataset's stored |saliency_text_label_features — the NORMALIZED
+        # prompt-ensembled zeroshot features (datasets.py; the writer's
+        # per-corpus prompt: game-engine for THOR scenes, photo for
+        # matterport/nyu) — so the pointer must see the same kind here
+        from .generate_relevancy import DEFAULT_PROMPT, THOR_PROMPT
+
+        low = str(args.scene_file).lower()
+        prompt = (DEFAULT_PROMPT if ("matterport" in low or "nyu" in low)
+                  else THOR_PROMPT)
+        zw = (np.asarray(sal.zeroshot_weights(names, [prompt])).T
+              if names else np.zeros((0, 512), np.float32))
+        out["class_features"] = {n: zw[i] for i, n in enumerate(names)}
     return out
 
 
@@ -200,30 +220,37 @@ def _restore_net(args, task):
     return cfg, params, approach
 
 
-def _dense_decode_device(decoder_params, vol, grid, pts, concat_xyz,
-                         chunk=2**18, post=None):
-    """Implicit-decoder sweep over a dense point grid, lax.map-chunked.
+def _upload_chunks(pts, chunk=2**18):
+    """Pad a dense point grid to chunk multiples and upload it ONCE —
+    the ~166 MB 240^3 grid must not re-cross the tunnel per class."""
+    import jax.numpy as jnp
 
-    The channel-last feature volume is neighborhood-PACKED once and every
-    chunk samples the shared pack (the per-chunk pack rebuild was ~50
-    passes over a 0.5 GB temp at the 240^3 sweep). ``post`` maps each
-    chunk's decoded (chunk, output_dim) features to per-point outputs
-    INSIDE the jit (e.g. a class-feature pointer), so wide feature vectors
-    never materialize for the full grid; default takes channel 0."""
+    n = len(pts)
+    pad = (-n) % chunk
+    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
+    return jnp.asarray(pts_p.reshape(-1, chunk, 3)), n
+
+
+def make_dense_decoder(grid, dhw, concat_xyz, post=None):
+    """ONE jitted implicit-decoder sweep reused across classes/descriptions.
+
+    The channel-last feature volume is neighborhood-PACKED once per call
+    and every chunk samples the shared pack (the per-chunk pack rebuild
+    was ~50 passes over a 0.5 GB temp at the 240^3 sweep). ``post`` maps
+    each chunk's decoded (chunk, output_dim) features to per-point outputs
+    INSIDE the jit (e.g. a class-feature pointer) and receives the
+    per-class vector as the traced ``post_arg`` — defining a fresh closure
+    (and hence a fresh jit cache entry: retrace + recompile + grid
+    re-upload) per class was N-1 wasted compiles. Default takes channel 0.
+    """
     import jax
     import jax.numpy as jnp
 
     from ..models.decoder import _linear
     from ..ops.sampling import grid_sample_packed, pack_volume
 
-    n = len(pts)
-    pad = (-n) % chunk
-    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
-    chunks = jnp.asarray(pts_p.reshape(-1, chunk, 3))
-    dhw = vol.shape[1:4]
-
     @jax.jit
-    def run(vol_, chunks_):
+    def run(decoder_params, vol_, chunks_, post_arg):
         pack = pack_volume(vol_[0])
 
         def body(c):
@@ -237,20 +264,11 @@ def _dense_decode_device(decoder_params, vol, grid, pts, concat_xyz,
             h = jax.nn.leaky_relu(
                 _linear(decoder_params["fc1"], sampled), negative_slope=0.01)
             feats = _linear(decoder_params["fc2"], h)
-            return post(feats) if post is not None else feats[:, 0]
+            return post(feats, post_arg) if post is not None else feats[:, 0]
 
         return jax.lax.map(body, chunks_)
 
-    return run(vol, chunks), n
-
-
-def _dense_decode(decoder_params, vol, grid, pts, concat_xyz, chunk=2**18,
-                  post=None):
-    out, n = _dense_decode_device(decoder_params, vol, grid, pts, concat_xyz,
-                                  chunk, post)
-    out = np.asarray(out)
-    out = out.reshape(-1, *out.shape[2:])
-    return out[:n]
+    return run
 
 
 class DenseArgmax:
@@ -307,20 +325,38 @@ def cmd_ovssc(args):
     from ..models.decoder import pointing_attention_paired
     from ..ops.fusion import TSDFVolume
 
-    scene_bounds = ((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9))
     cfg, params, approach = _restore_net(args, "ovssc")
-    batch = prep_data(args, scene_bounds, approach)
+    # scene bounds come from the restored net config (the reference copies
+    # every args.pkl field, visualize.py:310-315) — a checkpoint trained
+    # with non-default bounds must voxelize/sample the same region here
+    ccfg0 = getattr(cfg, "completion", cfg)
+    scene_bounds = tuple(map(tuple, ccfg0.scene_bounds))
     shape = tuple(args.sampling_shape)
+    vs_axes = [(scene_bounds[1][a] - scene_bounds[0][a]) / shape[a]
+               for a in range(3)]
+    if max(vs_axes) - min(vs_axes) > 1e-9:
+        raise SystemExit(
+            f"--sampling_shape {shape} gives non-uniform voxel sizes "
+            f"{vs_axes} over bounds {scene_bounds}; the TSDF carving mask "
+            "needs one voxel size — pick a shape proportional to the bounds"
+        )
+    batch = prep_data(args, scene_bounds, approach)
+    if not batch["ovssc_obj_classes"]:
+        raise SystemExit(
+            f"{args.scene_file} carries no ovssc_obj_classes — nothing to "
+            "complete (use vool-inference for description scenes)"
+        )
     grid_points = get_sample_points(shape, scene_bounds)
     rs = np.random.RandomState(args.seed)
     dump = Path(args.dump_path) / batch["scene_id"]
     dump.mkdir(parents=True, exist_ok=True)
+    cd = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     # running (argmax, max) accumulated ON DEVICE: per-class logit volumes
     # are never read back (55 MB/class over the tunnel); only the final
     # uint8 prediction + empty mask transfer (~28 MB total)
     acc = DenseArgmax()
-    n_pts = len(grid_points)
+    chunks, n_pts = _upload_chunks(grid_points)
     if approach == "semantic_aware":
         # one RGB feature volume shared by all classes; the CLIP-dim
         # decode is pointed at each class text feature INSIDE the sweep
@@ -331,25 +367,25 @@ def cmd_ovssc(args):
             batch["input_rgb_pts"][idx].astype(np.float32) / 255.0
         )[None, None]
         vol = semabs3d_feature_vol(cparams, ccfg, xyz, rgb_feats,
-                                   compute_dtype=jnp.bfloat16)
-        for ci, obj_class in enumerate(batch["ovssc_obj_classes"]):
-            cf = jnp.asarray(batch["text_features"][obj_class])
+                                   compute_dtype=cd)
 
-            def post(feats, cf=cf):
-                return pointing_attention_paired(
-                    params["pointer"], key=cf, query=feats,
-                    method=cfg.pointing_method,
-                    pointing_dim=cfg.clip_hidden_dim,
-                    temperature=cfg.pointing_temperature,
-                )
-
-            out, _ = _dense_decode_device(
-                cparams["decoder"], vol, ccfg.grid, grid_points,
-                ccfg.decoder_concat_xyz_pts, post=post,
+        def point_at_class(feats, cf):
+            return pointing_attention_paired(
+                params["pointer"], key=cf, query=feats,
+                method=cfg.pointing_method,
+                pointing_dim=cfg.clip_hidden_dim,
+                temperature=cfg.pointing_temperature,
             )
-            acc.update(out, ci)
+
+        decode = make_dense_decoder(ccfg.grid, vol.shape[1:4],
+                                    ccfg.decoder_concat_xyz_pts,
+                                    post=point_at_class)
+        for ci, obj_class in enumerate(batch["ovssc_obj_classes"]):
+            cf = jnp.asarray(batch["class_features"][obj_class])
+            acc.update(decode(cparams["decoder"], vol, chunks, cf), ci)
             logging.info("completed %s", obj_class)
     else:
+        decode = None
         for ci, obj_class in enumerate(batch["ovssc_obj_classes"]):
             idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
             xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
@@ -357,12 +393,13 @@ def cmd_ovssc(args):
                 batch["relevancy"][obj_class][idx].astype(np.float32)
             )[None, None, :, None]
             vol = semabs3d_feature_vol(params, cfg, xyz, feats,
-                                       compute_dtype=jnp.bfloat16)
-            out, _ = _dense_decode_device(
-                params["decoder"], vol, cfg.grid, grid_points,
-                cfg.decoder_concat_xyz_pts,
+                                       compute_dtype=cd)
+            if decode is None:
+                decode = make_dense_decoder(cfg.grid, vol.shape[1:4],
+                                            cfg.decoder_concat_xyz_pts)
+            acc.update(
+                decode(params["decoder"], vol, chunks, jnp.zeros(())), ci
             )
-            acc.update(out, ci)
             logging.info("completed %s", obj_class)
     prediction_flat, empty_flat = acc.finalize(n_pts, args.cutoff)
     prediction = prediction_flat.reshape(shape)
@@ -370,7 +407,7 @@ def cmd_ovssc(args):
 
     tsdf = TSDFVolume(
         np.asarray(scene_bounds).T,
-        voxel_size=(scene_bounds[1][0] - scene_bounds[0][0]) / shape[0],
+        voxel_size=vs_axes[0],
     )
     tsdf.integrate(batch["rgb"], batch["depth"], batch["cam_intr"],
                    batch["cam_extr"])
@@ -403,28 +440,28 @@ def cmd_vool(args):
     from ..models.nets import RELATION_TO_ID
     from ..ops.fusion import pcwrite
 
-    scene_bounds = ((-1.0, -1.0, -0.1), (1.0, 1.0, 1.9))
     cfg, params, approach = _restore_net(args, "vool")
+    ccfg = cfg.completion
+    cparams = params["completion"]
+    # bounds from the restored net config (see cmd_ovssc)
+    scene_bounds = tuple(map(tuple, ccfg.scene_bounds))
     batch = prep_data(args, scene_bounds, approach)
     shape = tuple(args.sampling_shape)
     grid_points = get_sample_points(shape, scene_bounds).astype(np.float32)
     rs = np.random.RandomState(args.seed)
     dump = Path(args.dump_path) / batch["scene_id"]
     dump.mkdir(parents=True, exist_ok=True)
-    ccfg = cfg.completion
-    cparams = params["completion"]
+    cd = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    chunks, n_pts = _upload_chunks(grid_points)
 
-    def decode_logits(fvol, sampler_params, pointer_query=None):
-        """spatial-sampler sweep; with ``pointer_query`` the per-point
-        features are pointed at the query vector inside the chunk body."""
-        chunk = 2**18
-        n = len(grid_points)
-        pad = (-n) % chunk
-        pts_p = np.concatenate([grid_points, np.zeros((pad, 3), np.float32)])
-        chunks = jnp.asarray(pts_p.reshape(-1, chunk, 3))
+    def make_logit_decoder(sampler_params, with_query):
+        """ONE jitted spatial-sampler sweep per (params, query-mode),
+        reused across descriptions; with ``with_query`` the per-point
+        features are pointed at the traced query vector inside the body
+        (a fresh closure per description meant a recompile each)."""
 
         @jax.jit
-        def run(fvol_, chunks_):
+        def run(fvol_, chunks_, query):
             def body(c):
                 sampled = implicit_decoder(
                     sampler_params, fvol_, ccfg.grid, c[None],
@@ -432,18 +469,32 @@ def cmd_vool(args):
                             ccfg.decoder_concat_xyz_pts),
                     channels_last=True,
                 )
-                if pointer_query is None:
+                if not with_query:
                     return sampled[0, :, 0]
                 return pointing_attention(
-                    params["pointer"], sampled, pointer_query[None, None],
+                    params["pointer"], sampled, query[None, None],
                     cfg.pointing_method, cfg.pointing_dim,
                     cfg.pointing_temperature,
                 )[0, :, 0]
 
             return jax.lax.map(body, chunks_)
 
-        return np.asarray(run(fvol, chunks)).reshape(-1)[:n]
+        return run
 
+    logit_decoders = {}
+
+    def decode_logits(fvol, sampler_params, pointer_query=None):
+        key = (id(sampler_params), pointer_query is not None)
+        if key not in logit_decoders:
+            logit_decoders[key] = make_logit_decoder(
+                sampler_params, pointer_query is not None
+            )
+        q = (jnp.zeros(()) if pointer_query is None
+             else jnp.asarray(pointer_query))
+        out = logit_decoders[key](fvol, chunks, q)
+        return np.asarray(out).reshape(-1)[:n_pts]
+
+    sa_decode = None
     for (target, relation, reference) in batch["descriptions"]:
         idx = rs.choice(len(batch["input_xyz_pts"]), size=args.num_input_pts)
         xyz = jnp.asarray(batch["input_xyz_pts"][idx])[None]
@@ -455,7 +506,7 @@ def cmd_vool(args):
                 batch["input_rgb_pts"][idx].astype(np.float32) / 255.0
             )[None, None]
             vol = semabs3d_feature_vol(cparams, ccfg, xyz, rgb,
-                                       compute_dtype=jnp.bfloat16)
+                                       compute_dtype=cd)
             rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
             query = _linear(
                 params["query_mlp"],
@@ -465,19 +516,21 @@ def cmd_vool(args):
                     rel_emb,
                 ]),
             )
+            if sa_decode is None:
+                def point_at_query(feats, q):
+                    return pointing_attention_paired(
+                        params["pointer"], key=q, query=feats,
+                        method=cfg.pointing_method,
+                        pointing_dim=cfg.pointing_dim,
+                        temperature=cfg.pointing_temperature,
+                    )
 
-            def post(feats, q=query):
-                return pointing_attention_paired(
-                    params["pointer"], key=q, query=feats,
-                    method=cfg.pointing_method,
-                    pointing_dim=cfg.pointing_dim,
-                    temperature=cfg.pointing_temperature,
+                sa_decode = make_dense_decoder(
+                    ccfg.grid, vol.shape[1:4],
+                    ccfg.decoder_concat_xyz_pts, post=point_at_query,
                 )
-
-            logits = _dense_decode(
-                cparams["decoder"], vol, ccfg.grid, grid_points,
-                ccfg.decoder_concat_xyz_pts, post=post,
-            )
+            out = sa_decode(cparams["decoder"], vol, chunks, query)
+            logits = np.asarray(out).reshape(-1)[:n_pts]
         elif approach == "clip_spatial":
             # single completion pass on the FULL-description relevancy
             # (reference net.py:639-678)
@@ -486,7 +539,7 @@ def cmd_vool(args):
                 batch["relevancy"][desc_key][idx].astype(np.float32)
             )[None, None, :, None]
             fvol = semabs3d_feature_vol(cparams, ccfg, xyz, sal,
-                                        compute_dtype=jnp.bfloat16)
+                                        compute_dtype=cd)
             logits = decode_logits(fvol, params["spatial_sampler"])
         else:
             tgt = jnp.asarray(
@@ -496,18 +549,20 @@ def cmd_vool(args):
                 batch["relevancy"][reference][idx].astype(np.float32)
             )[None, None, :, None]
             tvol = semabs3d_feature_vol(cparams, ccfg, xyz, tgt,
-                                        compute_dtype=jnp.bfloat16)
+                                        compute_dtype=cd)
             rvol = semabs3d_feature_vol(cparams, ccfg, xyz, ref,
-                                        compute_dtype=jnp.bfloat16)
+                                        compute_dtype=cd)
             fvol = jnp.concatenate([tvol, rvol], axis=-1)
             rel_emb = params["relation_embeddings"][RELATION_TO_ID[relation]]
             logits = decode_logits(fvol, params["spatial_sampler"], rel_emb)
         top = logits.max()
         mask = logits > (top - args.vool_band)
         pts = grid_points[mask]
-        heat = (logits[mask] - logits[mask].min()) / max(
-            1e-9, logits[mask].max() - logits[mask].min()
-        )
+        # reference exponentiates the kept logprobs BEFORE min-max
+        # normalization (visualize.py:468-472) — exp is monotone but
+        # nonlinear over the band, so the jet colors differ otherwise
+        probs = np.exp(logits[mask])
+        heat = (probs - probs.min()) / max(1e-9, probs.max() - probs.min())
         try:
             import matplotlib.cm as cm
 

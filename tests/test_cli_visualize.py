@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 
 from semantic_abstraction_tpu.cli.visualize import (
-    _dense_decode,
+    _upload_chunks,
+    make_dense_decoder,
     export_obj,
     get_sample_points,
 )
@@ -47,9 +48,14 @@ def test_dense_decode_matches_direct():
     rs = np.random.RandomState(0)
     vol = jnp.asarray(rs.randn(1, 8, 8, 8, 8).astype(np.float32))
     pts = rs.uniform(-1, 1.9, (1000, 3)).astype(np.float32)
-    # _dense_decode takes the channel-LAST feature volume (the layout
-    # semabs3d_feature_vol emits)
-    out = _dense_decode(params["decoder"], vol, cfg.grid, pts, True, chunk=256)
+    # the decoder factory takes the channel-LAST feature volume (the
+    # layout semabs3d_feature_vol emits); the grid uploads once and the
+    # per-class vector rides as a traced argument
+    chunks, n_valid = _upload_chunks(pts, chunk=256)
+    decode = make_dense_decoder(cfg.grid, vol.shape[1:4], True)
+    out = np.asarray(
+        decode(params["decoder"], vol, chunks, jnp.zeros(()))
+    ).reshape(-1)[:n_valid]
     ref = np.asarray(
         implicit_decoder(params["decoder"], vol, cfg.grid,
                          jnp.asarray(pts)[None], True,
@@ -209,3 +215,59 @@ def test_restore_net_config_from_args_pkl(tmp_path):
     a = jax.tree_util.tree_leaves(params)[0]
     b = jax.tree_util.tree_leaves(restored_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_visualize_semantic_aware_vool(tmp_path):
+    """--approach semantic_aware VOOL: RGB completion + CLIP-text query
+    (raw encode_text features, like train_vool.make_text_encoder)."""
+    from semantic_abstraction_tpu.cli import visualize
+
+    rs = np.random.RandomState(3)
+    scene_path = _tiny_scene(tmp_path, rs, [("mug", "on", "table")])
+    visualize.main([
+        "vool-inference", scene_path,
+        "--dump-path", str(tmp_path / "vis_sa"),
+        "--voxel_shape", "16", "16", "16",
+        "--sampling_shape", "12", "12", "12",
+        "--num_input_pts", "256",
+        "--random-weights",
+        "--compute_dtype", "float32",
+        "--approach", "semantic_aware",
+    ])
+    assert (tmp_path / "vis_sa" / "scene" / "mug_on_table.ply").exists()
+
+
+def test_visualize_semantic_aware_ovssc(tmp_path):
+    """--approach semantic_aware OVSSC: the per-class pointer must consume
+    prompt-ensembled zeroshot class features (what training's
+    semantic_class_features carried), not raw encode_text outputs."""
+    import pickle
+
+    from semantic_abstraction_tpu.cli import visualize
+
+    rs = np.random.RandomState(4)
+    h, w = 48, 48
+    scene = {
+        "rgb": rs.randint(0, 255, (h, w, 3), dtype=np.uint8),
+        "depth": rs.uniform(0.5, 1.6, (h, w)).astype(np.float32),
+        "cam_intr": np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]],
+                             np.float32),
+        "cam_extr": np.eye(4, dtype=np.float32),
+        "ovssc_obj_classes": ["chair", "table"],
+        "descriptions": [],
+    }
+    scene_path = str(tmp_path / "sa.pkl")
+    with open(scene_path, "wb") as f:
+        pickle.dump(scene, f)
+    visualize.main([
+        "ovssc-inference", scene_path,
+        "--dump-path", str(tmp_path / "vis_sao"),
+        "--voxel_shape", "16", "16", "16",
+        "--sampling_shape", "24", "24", "24",
+        "--num_input_pts", "512",
+        "--random-weights",
+        "--compute_dtype", "float32",
+        "--approach", "semantic_aware",
+        "--cutoff", "-100",
+    ])
+    assert (tmp_path / "vis_sao" / "sa").exists()
