@@ -15,8 +15,6 @@ DistributedSampler stack (reference: utils.py:506-520, eval.py:57-59).
 """
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -71,7 +69,7 @@ def collate_padded(samples: List[dict], point_bucket: int = 2048) -> Dict[str, o
     out = {}
     point_max = 0
     for k in _POINT_AXIS_KEYS:
-        if k in samples[0]:
+        if k in samples[0] and samples[0][k].ndim >= 2:
             point_max = max(
                 point_max, max(s[k].shape[1] for s in samples)
             )
@@ -128,7 +126,10 @@ class ShardedSampler:
         (the torch DistributedSampler silently double-counts these)."""
         idx = np.arange(self.num_samples)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed * 7919 + self.epoch)
+            # bounded like datasets.py's per-sample RNG — RandomState
+            # rejects seeds >= 2**32, and date-style --seed values are big
+            rng = np.random.RandomState((self.seed * 7919 + self.epoch)
+                                        % (2**31))
             rng.shuffle(idx)
         is_pad = np.zeros(len(idx), bool)
         if self.drop_last:
@@ -136,7 +137,9 @@ class ShardedSampler:
             idx, is_pad = idx[:usable], is_pad[:usable]
         else:
             pad = (-len(idx)) % self.num_shards
-            if pad:  # cyclic tiling: pad may exceed the sample count
+            if pad and len(idx):  # cyclic tiling (np.resize of an EMPTY
+                # array fabricates zeros — an empty dataset keeps empty
+                # shards instead of inventing index 0)
                 idx = np.concatenate([idx, np.resize(idx, pad)])
                 is_pad = np.concatenate([is_pad, np.ones(pad, bool)])
         return (idx[self.shard_id :: self.num_shards],
@@ -187,7 +190,7 @@ class DataLoader:
         n_real = len(idx)
         if self.pad_to_full_batches and not self.drop_last:
             pad = (-n_real) % self.batch_size
-            if pad:  # cyclic tiling: pad may exceed the sample count
+            if pad and n_real:  # cyclic tiling: pad may exceed the count
                 idx = np.concatenate([idx, np.resize(idx, pad)])
                 sampler_pad = np.concatenate(
                     [sampler_pad, np.ones(pad, bool)]
@@ -210,7 +213,10 @@ class DataLoader:
             batch = collate_padded(samples, self.point_bucket)
         else:
             batch = collate(samples)
-        if self.pad_to_full_batches:
+        if self.pad_to_full_batches or is_pad.any():
+            # the sampler's own shard-equalizing duplicates must surface
+            # even without loader-level wrap-padding, or eval would count
+            # the duplicated scene twice
             batch["_sample_pad"] = is_pad
         return batch
 
@@ -221,35 +227,36 @@ class DataLoader:
                 yield self._load(b)
             return
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = [pool.submit(self._load, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        for f in futures:
-                            f.cancel()
-                        return
-                    try:
-                        q.put(("ok", fut.result()))
-                    except Exception as e:  # surface worker errors to consumer
-                        q.put(("err", e))
-                        return
-            q.put(("done", None))
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+        # Bounded in-flight WINDOW (num_workers running + prefetch done
+        # but unconsumed), driven synchronously by the consumer: one new
+        # submit per consumed batch. The earlier design submitted the
+        # whole epoch upfront and forwarded through a producer thread —
+        # workers ran arbitrarily far ahead (the completed futures pinned
+        # every batch of the epoch in memory) and an early `break` left
+        # the producer parked in q.put forever while the pool kept
+        # decoding the rest of the epoch. Here a break/exception lands in
+        # the finally: queued work is cancelled and at most num_workers
+        # in-flight loads finish before the pool's threads exit.
+        window = self.num_workers + max(1, self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pending = deque()
+        it = iter(batches)
         try:
-            while True:
-                kind, payload = q.get()
-                if kind == "done":
-                    return
-                if kind == "err":
-                    raise payload
-                yield payload
+            for b in it:
+                pending.append(pool.submit(self._load, b))
+                if len(pending) >= window:
+                    break
+            while pending:
+                out = pending.popleft().result()  # worker errors re-raise
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.submit(self._load, nxt))
+                yield out
+                del out  # release before blocking on the next result
         finally:
-            stop.set()
+            while pending:
+                pending.popleft().cancel()
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -321,3 +321,75 @@ def test_dr_transform_failure_falls_back_to_identity(scene_dir, monkeypatch):
     s = ObjectLocalizationDataset(str(scene_dir), files, cfg)[0]
     assert s["input_xyz_pts"].shape == (256, 3)
     assert raised, "DR never produced a transform; the fallback was not hit"
+
+
+class _CountingDataset:
+    def __init__(self, n):
+        self.n = n
+        self.calls = 0
+        self.lock = __import__("threading").Lock()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        with self.lock:
+            self.calls += 1
+        return {"x": np.full((4,), i, np.float32)}
+
+
+def test_loader_early_break_bounds_prefetch():
+    """Breaking out of iteration must not keep loading the epoch: the
+    in-flight window is num_workers + prefetch, driven by consumption."""
+    import time
+
+    ds = _CountingDataset(400)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, prefetch=2,
+                        shuffle=False)
+    seen = 0
+    for batch in loader:
+        assert batch["x"].shape == (4, 4)
+        seen += 1
+        if seen == 3:
+            break
+    time.sleep(0.3)  # let any stray workers run if cancellation failed
+    # consumed 3 batches + at most (workers + prefetch + 1) in flight
+    assert ds.calls <= (3 + 2 + 2 + 1) * 4, ds.calls
+    # iterating again works (fresh pool per __iter__)
+    assert sum(1 for _ in loader) == 100
+
+
+def test_loader_worker_error_propagates():
+    class Boom(_CountingDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt scene")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Boom(12), batch_size=2, num_workers=2,
+                        shuffle=False)
+    with pytest.raises(RuntimeError, match="corrupt scene"):
+        list(loader)
+
+
+def test_sharded_sampler_big_seed_and_empty():
+    # date-style seeds must not overflow RandomState
+    s = ShardedSampler(10, num_shards=2, shard_id=0, shuffle=True,
+                       seed=20260818)
+    assert len(s.indices()) == 5
+    # an empty dataset yields empty shards, not fabricated index 0
+    s = ShardedSampler(0, num_shards=4, shard_id=1, shuffle=False)
+    idx, pad = s.indices_with_pad()
+    assert len(idx) == 0 and len(pad) == 0
+
+
+def test_sampler_pad_flag_survives_without_full_batch_padding():
+    """The sampler's shard-equalizing duplicate must surface as
+    _sample_pad even when the loader itself doesn't wrap-pad batches."""
+    ds = _CountingDataset(3)  # 3 samples over 2 shards -> 1 duplicate
+    sampler = ShardedSampler(3, num_shards=2, shard_id=1, shuffle=False)
+    loader = DataLoader(ds, batch_size=1, num_workers=0, sampler=sampler)
+    batches = list(loader)
+    assert len(batches) == 2
+    pads = [b.get("_sample_pad", np.zeros(1, bool))[0] for b in batches]
+    assert sum(pads) == 1
