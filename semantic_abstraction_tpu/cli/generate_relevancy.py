@@ -120,24 +120,22 @@ def _scene_labels(f, use_gt=True):
     from ..data.datasets import SYNONYMS
     from ..data.hdf5 import deref_h5py
 
-    labels = set()
     g = f["data"]
     object_labels = np.array(g["objid_to_class"]).astype(str)
-    if "seg" in g and use_gt:
+    # the visible-only path needs BOTH seg and full_objid_pts — the
+    # reference's scene_has_groundtruth gate (generate_relevancy.py:
+    # 229-231); a seg-only scene falls back to ALL objid classes
+    has_gt = use_gt and "seg" in g and "full_objid_pts" in g
+    if has_gt:
         visible = set(
             np.unique(deref_h5py(f["seg"], g["seg"])[0]).astype(int).tolist()
         ) - {-1}
-        for objid in visible:
-            if 0 <= objid < len(object_labels):
-                name = object_labels[objid].split("[")[0].strip()
-                if name not in {"empty", "out of bounds", "unlabelled"}:
-                    labels.add(name)
+        labels = {
+            str(object_labels[objid]) for objid in visible
+            if 0 <= objid < len(object_labels)
+        }
     else:
-        for lab in object_labels:
-            name = lab.split("[")[0].strip()
-            if name not in {"empty", "out of bounds", "unlabelled"}:
-                labels.add(name)
-    sentences = set()
+        labels = set(object_labels.tolist())
     if "descriptions" in g:
         dg = g["descriptions"]
         t = np.array(dg["target_obj_name"]).astype(str)
@@ -146,19 +144,22 @@ def _scene_labels(f, use_gt=True):
         labels.update(t.tolist())
         labels.update(r.tolist())
         for a, b, c in zip(t, rel, r):
-            sentences.add(f"{a} {b} a {c}")
+            labels.add(f"{a} {b} a {c}")
             # synonym-mapped sentence always added (reference
             # generate_relevancy.py:301-329; identical ones collapse in
-            # the set). The previous guard tested the RELATION against
+            # the set). An earlier guard tested the RELATION against
             # the synonym keys, silently dropping sentences whose only
             # synonym was the reference object — the novel-vocab split
             # would then miss those description saliencies.
-            sentences.add(f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}")
-    labels.update(SYNONYMS[l] for l in list(labels) if l in SYNONYMS)
-    # one flat sort over objects AND sentences — the reference sorts the
-    # combined set (generate_relevancy.py:346), and the stored label array
-    # should be byte-identical for the same scene
-    return sorted(labels | sentences)
+            labels.add(f"{SYNONYMS.get(a, a)} {b} a {SYNONYMS.get(c, c)}")
+    # reference order over the WHOLE union, names and sentences alike
+    # (generate_relevancy.py:330-346): bracket-strip normalize -> add
+    # synonyms -> remove the placeholder labels -> one flat sort, so the
+    # stored label array is byte-identical for the same scene
+    labels = {l.split("[")[0].lstrip().rstrip() for l in labels}
+    labels |= {SYNONYMS[l] for l in labels if l in SYNONYMS}
+    labels -= {"unlabelled", "empty", "out of bounds"}
+    return sorted(labels)
 
 
 def cmd_dataset(args):
@@ -269,9 +270,13 @@ def cmd_dataset(args):
                         )
                     refs = resize_and_add_data(f["saliencies"], maps)
                     f[prefix] = np.array(refs, dtype=h5py.regionref_dtype)
+                    # astype("S") sizes to the longest string like the
+                    # reference (:360); a fixed S128 silently truncated
+                    # long description sentences, breaking exact-string
+                    # row lookups at read time
                     f[prefix + "|saliency_text_labels"] = np.array(
-                        all_labels, dtype="S128"
-                    )
+                        all_labels
+                    ).astype("S")
                     f[prefix + "|saliency_text_label_features"] = feats
 
     pending = None  # one-scene-deep software pipeline
@@ -283,19 +288,37 @@ def cmd_dataset(args):
         # scene must not kill a multi-hour dataset sweep
         try:
             with h5py.File(path, "r") as f:
+                # which keys CAN this scene produce? datagen stores a
+                # zeros(1) placeholder when no DR frame exists (reference
+                # generate_thor_data.py:788,979) — the reference guards
+                # with a shape check (generate_relevancy.py:349-352). The
+                # done check must cover only producible keys, or
+                # placeholder scenes are recomputed on every resume.
+                present = []
+                for k in rgb_keys:
+                    if k == "rgb":
+                        present.append(k)
+                    elif (k in f["data"]
+                          and len(np.array(f["data"][k])[0].shape) > 1):
+                        present.append(k)
                 done = all(
                     f"data/saliencies/{k}|{args.saliency_config}" in f
-                    for k in rgb_keys
+                    for k in present
                 )
             if done and not args.overwrite:
                 continue
             with h5py.File(path, "r") as f:
                 labels = _scene_labels(f)
                 images = {}
-                for k in rgb_keys:
+                for k in present:
                     if k == "rgb":
-                        images[k] = deref_h5py(f["rgb"], f["data/rgb"])[0].astype(np.uint8)
-                    elif k in f["data"]:
+                        # deref exactly ONE frame (the reference indexes a
+                        # single region ref, :348) — derefing the whole
+                        # column gunzips every frame to keep frame 0
+                        images[k] = deref_h5py(
+                            f["rgb"], f["data/rgb"][:1]
+                        )[0].astype(np.uint8)
+                    else:
                         images[k] = np.array(f["data"][k][0]).astype(np.uint8)
             if not labels:
                 continue
