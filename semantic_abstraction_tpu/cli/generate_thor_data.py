@@ -160,6 +160,20 @@ def write_scene_hdf5(path: str, scene_data: dict):
         )
 
 
+def _worker_init():
+    """Pin datagen workers to the CPU backend: the scene assembly's jnp
+    calls (TSDF/voxel) would otherwise initialize the default platform —
+    on a TPU host the first worker seizes the single-client chip for the
+    whole multi-hour run while its siblings fail init. config.update
+    beats the env-forced JAX_PLATFORMS."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def generate_datapoint(args_tuple):
     seed, scene_id, out_dir, exported, dr, dist, num_output_pts = args_tuple
     from ..datagen.scene import scene_data_from_thor_datapoint
@@ -167,17 +181,24 @@ def generate_datapoint(args_tuple):
     out_path = os.path.join(out_dir, f"{scene_id}_{seed}.hdf5")
     if os.path.exists(out_path):
         return out_path  # resume-friendly skip (reference :1032-1034)
-    rng = np.random.RandomState(seed)
-    datapoint = run_simulator(scene_id, dr, rng, dist=dist)
-    if datapoint is None:
+    try:
+        rng = np.random.RandomState(seed)
+        datapoint = run_simulator(scene_id, dr, rng, dist=dist)
+        if datapoint is None:
+            return None
+        scene_data = scene_data_from_thor_datapoint(
+            rng, datapoint, dist, exported, num_output_pts=num_output_pts
+        )
+        if scene_data is None:
+            return None
+        write_scene_hdf5(out_path, scene_data)
+        return out_path
+    except Exception:
+        # one bad datapoint must not abort the pool and discard hours of
+        # simulator work on the other tasks
+        logging.exception("datapoint %s_%s failed; continuing",
+                          scene_id, seed)
         return None
-    scene_data = scene_data_from_thor_datapoint(
-        rng, datapoint, dist, exported, num_output_pts=num_output_pts
-    )
-    if scene_data is None:
-        return None
-    write_scene_hdf5(out_path, scene_data)
-    return out_path
 
 
 def main(argv=None):
@@ -199,6 +220,20 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     scenes = TEST_SCENES if args.test_only else ALL_SCENES
+    # only scenes whose GT export exists (reference :1119-1149 filters on
+    # full_xyz_pts.txt); a missing export otherwise fails every datapoint
+    # of that scene
+    scenes = [
+        s for s in scenes
+        if os.path.exists(os.path.join(args.exported_scenes, s,
+                                       "full_xyz_pts.txt"))
+        or os.path.exists(os.path.join(args.exported_scenes, f"{s}.pkl"))
+    ]
+    if not scenes:
+        raise SystemExit(
+            f"no exported scenes found under {args.exported_scenes} "
+            "(need <scene>/full_xyz_pts.txt or a <scene>.pkl cache)"
+        )
     num_output_pts = (NUM_OUTPUT_PTS if args.num_output_pts is None
                       else args.num_output_pts)
     tasks = []
@@ -214,7 +249,9 @@ def main(argv=None):
     else:
         import multiprocessing as mp
 
-        with mp.get_context("spawn").Pool(args.workers) as pool:
+        with mp.get_context("spawn").Pool(
+            args.workers, initializer=_worker_init
+        ) as pool:
             results = list(pool.imap_unordered(generate_datapoint, tasks))
     done = sum(1 for r in results if r)
     logging.info("generated %d/%d datapoints", done, len(tasks))

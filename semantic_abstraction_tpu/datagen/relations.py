@@ -95,77 +95,77 @@ def _matching_receptacle_mask(receptacle_masks: Dict[str, dict], class_name: str
     return np.logical_or.reduce(tuple(masks))
 
 
-def _mine_receptacle_relations(acc, scene_data, receptacle_masks, objects_info,
-                               remapped_visible_obj_ids, all_remapped_obj_ids,
-                               visibility_pts_mask, objects_in_scene):
+def _receptacle_relations_for(acc, scene_data, receptacle_masks,
+                              objects_info, remapped_visible_obj_ids,
+                              all_remapped_obj_ids, visibility_pts_mask,
+                              objects_in_scene, target_key, obj_info):
     """"X on/in a Y" from simulator parentReceptacles
     (reference :248-337), carving hidden targets over the receptacle."""
-    for target_key, obj_info in objects_info.items():
-        target_name = normalize_object_type(obj_info["objectType"])
-        for reference_key in obj_info.get("parentReceptacles") or []:
-            if reference_key not in remapped_visible_obj_ids:
+    target_name = normalize_object_type(obj_info["objectType"])
+    for reference_key in obj_info.get("parentReceptacles") or []:
+        if reference_key not in remapped_visible_obj_ids:
+            continue
+        if target_key not in all_remapped_obj_ids:
+            logging.warning("%s not in mapped objids %s", target_key,
+                            reference_key)
+            continue
+        if (all_remapped_obj_ids[target_key] not in objects_in_scene
+                or all_remapped_obj_ids[reference_key] not in objects_in_scene):
+            continue
+        parent_info = objects_info[reference_key]
+        if parent_info["objectType"] == "Floor":
+            continue
+        reference_name = normalize_object_type(parent_info["objectType"])
+        relation = "in" if reference_name in CONTAINER_OBJ_CLASSES else "on"
+        acc.unfiltered.append(f"{target_name} {relation} a {reference_name}")
+        if not acc.should_add(target_name, relation, reference_name):
+            continue
+        acc.add(
+            target_name, relation, reference_name,
+            target_id=all_remapped_obj_ids[target_key],
+            target_material=_materials(obj_info),
+            reference_material=_materials(parent_info),
+        )
+        if target_key not in remapped_visible_obj_ids:
+            # hidden target: supervise the whole (invisible part of
+            # the) receptacle region
+            mask = _matching_receptacle_mask(receptacle_masks, reference_name)
+            if mask is None:
                 continue
-            if target_key not in all_remapped_obj_ids:
-                logging.warning("%s not in mapped objids %s", target_key,
-                                reference_key)
-                continue
-            if (all_remapped_obj_ids[target_key] not in objects_in_scene
-                    or all_remapped_obj_ids[reference_key] not in objects_in_scene):
-                continue
-            parent_info = objects_info[reference_key]
-            if parent_info["objectType"] == "Floor":
-                continue
-            reference_name = normalize_object_type(parent_info["objectType"])
-            relation = "in" if reference_name in CONTAINER_OBJ_CLASSES else "on"
-            acc.unfiltered.append(f"{target_name} {relation} a {reference_name}")
-            if not acc.should_add(target_name, relation, reference_name):
-                continue
-            acc.add(
-                target_name, relation, reference_name,
-                target_id=all_remapped_obj_ids[target_key],
-                target_material=_materials(obj_info),
-                reference_material=_materials(parent_info),
-            )
-            if target_key not in remapped_visible_obj_ids:
-                # hidden target: supervise the whole (invisible part of
-                # the) receptacle region
-                mask = _matching_receptacle_mask(receptacle_masks, reference_name)
-                if mask is None:
-                    continue
-                scene_data["full_objid_pts"][
-                    :, np.logical_and(mask, ~visibility_pts_mask)
-                ] = all_remapped_obj_ids[target_key]
+            scene_data["full_objid_pts"][
+                :, np.logical_and(mask, ~visibility_pts_mask)
+            ] = all_remapped_obj_ids[target_key]
 
 
-def _augment_hidden_banana(acc, scene_data, receptacle_masks, objects_info,
-                           remapped_visible_obj_ids, visibility_pts_mask):
+def _banana_augmentation_for(acc, scene_data, receptacle_masks,
+                             remapped_visible_obj_ids, visibility_pts_mask,
+                             container_key, obj_info):
     """"banana in a <container>" supervision over invisible container
     interiors (reference :339-387)."""
-    for container_key, obj_info in objects_info.items():
-        container_name = normalize_object_type(obj_info["objectType"])
-        if container_name not in CONTAINER_OBJ_CLASSES:
-            continue
-        if container_key not in remapped_visible_obj_ids:
-            continue
-        mask = _matching_receptacle_mask(receptacle_masks, container_name)
-        if mask is None:
-            continue
-        description = f"banana in a {container_name}"
-        acc.unfiltered.append(description)
-        if not acc.should_add("banana", "in", container_name):
-            continue
-        hidden_obj_id = len(scene_data["objid_to_class"])
-        acc.add(
-            "banana", "in", container_name, target_id=hidden_obj_id,
-            reference_material=_materials(obj_info),
-        )
-        scene_data["objid_to_class"] = np.array(
-            scene_data["objid_to_class"].astype(str).tolist()
-            + [f"banana[{hidden_obj_id}]"]
-        ).astype("S")
-        scene_data["full_objid_pts"][
-            :, np.logical_and(mask, ~visibility_pts_mask)
-        ] = hidden_obj_id
+    container_name = normalize_object_type(obj_info["objectType"])
+    if container_name not in CONTAINER_OBJ_CLASSES:
+        return
+    if container_key not in remapped_visible_obj_ids:
+        return
+    mask = _matching_receptacle_mask(receptacle_masks, container_name)
+    if mask is None:
+        return
+    description = f"banana in a {container_name}"
+    acc.unfiltered.append(description)
+    if not acc.should_add("banana", "in", container_name):
+        return
+    hidden_obj_id = len(scene_data["objid_to_class"])
+    acc.add(
+        "banana", "in", container_name, target_id=hidden_obj_id,
+        reference_material=_materials(obj_info),
+    )
+    scene_data["objid_to_class"] = np.array(
+        scene_data["objid_to_class"].astype(str).tolist()
+        + [f"banana[{hidden_obj_id}]"]
+    ).astype("S")
+    scene_data["full_objid_pts"][
+        :, np.logical_and(mask, ~visibility_pts_mask)
+    ] = hidden_obj_id
 
 
 def _carve_behind_region(scene_data, reference_name, target_obj_id,
@@ -197,7 +197,24 @@ def _carve_behind_region(scene_data, reference_name, target_obj_id,
     pix_y = np.round(cam_pts[:, 1] * cam_intr[1, 1] / safe_z + cam_intr[1, 2]).astype(int)
     pix = np.stack([pix_x, pix_y], axis=1)
     corner = pix.min(axis=0)
-    cells = (pix - corner) // resize_scale
+    # reference semantics (generate_thor_data.py:495-506): np.digitize
+    # into bins arange(0, im_w/im_h, resize_scale) — i.e. min(v//rs + 1,
+    # n_bins). The SATURATION is load-bearing: points projecting beyond
+    # the image extent collapse into the last cell (common — the full GT
+    # cloud spans far more than the image once divided by small z), and
+    # without it the cell grid is unbounded (a near-zero-z point projects
+    # to ~1e5 px -> a multi-GB back-surface array).
+    im_h, im_w = scene_data["depth"][0].shape
+    shifted = pix - corner
+    n_x = len(np.arange(0, im_w, resize_scale))
+    n_y = len(np.arange(0, im_h, resize_scale))
+    cells = np.stack(
+        [
+            np.minimum(shifted[:, 0] // resize_scale + 1, n_x),
+            np.minimum(shifted[:, 1] // resize_scale + 1, n_y),
+        ],
+        axis=1,
+    )
 
     ref_cells = cells[ref_mask]
     ref_z = pix_z[ref_mask]
@@ -300,15 +317,22 @@ def get_all_relations(
     (hidden-region carving) like the reference."""
     objects_in_scene = set(np.unique(scene_data["full_objid_pts"]).tolist())
     acc = RelationAccumulator()
-    _mine_receptacle_relations(
-        acc, scene_data, receptacle_masks, objects_info,
-        remapped_visible_obj_ids, all_remapped_obj_ids, visibility_pts_mask,
-        objects_in_scene,
-    )
-    _augment_hidden_banana(
-        acc, scene_data, receptacle_masks, objects_info,
-        remapped_visible_obj_ids, visibility_pts_mask,
-    )
+    # ONE loop over objects_info with the banana augmentation interleaved
+    # after each object's receptacle block — the reference's structure
+    # (:250-387). Phase-split execution inverted carve/dedup precedence:
+    # e.g. a hidden spoon in a cabinet must overwrite the cabinet's
+    # earlier banana carve (spoon wins in the reference), and a real
+    # banana row vs its augmentation dedups by whichever comes first.
+    for obj_key, obj_info in objects_info.items():
+        _receptacle_relations_for(
+            acc, scene_data, receptacle_masks, objects_info,
+            remapped_visible_obj_ids, all_remapped_obj_ids,
+            visibility_pts_mask, objects_in_scene, obj_key, obj_info,
+        )
+        _banana_augmentation_for(
+            acc, scene_data, receptacle_masks, remapped_visible_obj_ids,
+            visibility_pts_mask, obj_key, obj_info,
+        )
     _mine_directional_relations(
         acc, scene_data, objects_info, remapped_visible_obj_ids,
         visibility_pts_mask,

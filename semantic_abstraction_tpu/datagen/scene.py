@@ -24,7 +24,7 @@ from ..data.transforms import (
     filter_pts_bounds_np,
 )
 from .naming import class_reduction_rule
-from .receptacles import check_inside_receptacle
+from .receptacles import receptacle_masks_for_scene
 from .relations import get_all_relations
 
 # camera model of the exporter (reference :27-36)
@@ -67,13 +67,19 @@ def parse_exported_gt(scene_name: str, path_to_exported_scenes: str) -> dict:
     import os
     import pickle
 
-    from .receptacles import parse_receptacle_line
-
     cache = f"{path_to_exported_scenes}/{scene_name}.pkl"
     if os.path.exists(cache):
         try:
             with open(cache, "rb") as f:
-                return pickle.load(f)
+                cached = pickle.load(f)
+            # reference-era caches (parse_gt pickles) lack objids /
+            # objid_to_class — fall through and re-parse (self-heal)
+            # instead of KeyError'ing the datagen pool later
+            if all(k in cached for k in
+                   ("full_xyz_pts", "full_objid_pts", "objids",
+                    "objid_to_class", "receptacle_masks")):
+                return cached
+            logging.warning("%s: stale cache schema, re-parsing", cache)
         except Exception as e:
             logging.error("%s: %s", cache, e)
 
@@ -82,11 +88,7 @@ def parse_exported_gt(scene_name: str, path_to_exported_scenes: str) -> dict:
     with open(f"{base}/full_objid_pts.txt") as f:
         raw_ids = [l.rstrip() for l in f]
     with open(f"{path_to_exported_scenes}/{scene_name}_receptacles.txt") as f:
-        receptacle_infos = [parse_receptacle_line(l) for l in f]
-    receptacle_masks = {
-        info["receptacle_name"]: check_inside_receptacle(full_xyz_pts, info)
-        for info in receptacle_infos
-    }
+        receptacle_masks = receptacle_masks_for_scene(full_xyz_pts, f)
     unique_ids = sorted(set(raw_ids))
     labels = [class_reduction_rule(rid) for rid in raw_ids]
     unique_labels = sorted(set(labels))
@@ -101,8 +103,6 @@ def parse_exported_gt(scene_name: str, path_to_exported_scenes: str) -> dict:
         "objid_to_class": [class_reduction_rule(u) for u in unique_ids],
         "receptacle_masks": receptacle_masks,
     }
-    import pickle
-
     with open(cache, "wb") as f:
         pickle.dump(gt, f)
     return gt
@@ -175,9 +175,16 @@ def scene_data_from_thor_datapoint(
     transform = gt_alignment_transform(cam_pose, dist)
     gt = parse_exported_gt(datapoint["scene_id"], path_to_exported_scenes)
     original_xyz = np.asarray(gt["full_xyz_pts"], float)
-    remapped_full_objid = np.asarray(
-        [gt["objids"].index(r) for r in gt["full_objid_pts"]], int
-    ) if not np.issubdtype(np.asarray(gt["full_objid_pts"]).dtype, np.integer) else np.asarray(gt["full_objid_pts"])
+    raw_ids = gt["full_objid_pts"]
+    if raw_ids and isinstance(raw_ids[0], (int, np.integer)):
+        remapped_full_objid = np.asarray(raw_ids)
+    else:
+        # dict lookup, not list.index: ~1M points x hundreds of unique
+        # string ids made the O(N*M) scan dominate per-datapoint CPU
+        id_to_idx = {objid: i for i, objid in enumerate(gt["objids"])}
+        remapped_full_objid = np.fromiter(
+            (id_to_idx[r] for r in raw_ids), dtype=int, count=len(raw_ids)
+        )
     full_xyz = original_xyz @ transform[:3, :3].T + transform[:3, 3]
     objid_to_class = list(gt["objid_to_class"])
     receptacle_masks = gt["receptacle_masks"]
