@@ -120,21 +120,26 @@ def _measure_relevancy():
     # throughput: one-image-deep software pipeline (the dataset writer's
     # regime, cli/generate_relevancy.py): image i's host readback overlaps
     # image i+1's device compute. Keys differ per image so nothing is
-    # memoized; the final readback is inside the timed region.
+    # memoized; the final readback is inside the timed region. Best of 2
+    # passes: the pipeline's host thread is contention-sensitive (a
+    # co-running process once depressed one pass 16x below the synced
+    # latency rate), and a single stalled pass must not be the headline.
     k = 4
-    t0 = time.perf_counter()
-    pending = None
-    for i in range(k):
-        maps, _ = sal.get_clip_saliency(
-            img, labels, list(HEADLINE_PROMPTS), config,
-            key=jax.random.PRNGKey(100 + i),
-        )
-        if pending is not None:
-            np.asarray(pending)
-        pending = maps
-    np.asarray(pending)
-    wall = time.perf_counter() - t0
-    return k * len(labels) / wall, latency
+    walls = []
+    for p in range(2):
+        t0 = time.perf_counter()
+        pending = None
+        for i in range(k):
+            maps, _ = sal.get_clip_saliency(
+                img, labels, list(HEADLINE_PROMPTS), config,
+                key=jax.random.PRNGKey(100 + p * k + i),
+            )
+            if pending is not None:
+                np.asarray(pending)
+            pending = maps
+        np.asarray(pending)
+        walls.append(time.perf_counter() - t0)
+    return k * len(labels) / min(walls), latency
 
 
 def _measure_train():
