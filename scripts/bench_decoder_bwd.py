@@ -9,10 +9,11 @@ can be measured without the full train step.
 Usage: python scripts/bench_decoder_bwd.py [--n 400000] [--patches 4]
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
