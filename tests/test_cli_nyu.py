@@ -70,6 +70,7 @@ def nyu_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_nyu_end_to_end(nyu_dir, tmp_path, caplog):
     from semantic_abstraction_tpu.cli import (
         eval as eval_cli,

@@ -51,6 +51,7 @@ TINY_ARGS = [
 ]
 
 
+@pytest.mark.slow
 def test_eval_loads_reference_pth_directly(dataset_dir, tmp_path):
     """`eval --load <...>.pth` consumes a released-format torch checkpoint
     (reference models.tar.lz4 layout: <dir>/{args.pkl, ovssc.pth}) by
@@ -115,6 +116,7 @@ def test_train_ovssc_semantic_aware(dataset_dir, tmp_path):
     assert os.path.exists(os.path.join(log, "latest.ckpt"))
 
 
+@pytest.mark.slow
 def test_train_ovssc_end_to_end(dataset_dir, tmp_path):
     from semantic_abstraction_tpu.cli import train_ovssc
 
@@ -169,6 +171,7 @@ def vool_dataset_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("approach", ["semantic_abstraction", "clip_spatial"])
 def test_train_vool_end_to_end(vool_dataset_dir, tmp_path, approach):
     from semantic_abstraction_tpu.cli import train_vool
@@ -186,6 +189,7 @@ def test_train_vool_end_to_end(vool_dataset_dir, tmp_path, approach):
     assert "spatial_relation_name" in df.columns
 
 
+@pytest.mark.slow
 def test_train_vool_semantic_aware(vool_dataset_dir, tmp_path):
     """semantic_aware VOOL end-to-end: host-side CLIP text-feature cache
     feeds target/reference features into the query MLP (reference
@@ -240,6 +244,7 @@ def test_resume_from_checkpoint(dataset_dir, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_eval_vool(vool_dataset_dir, tmp_path):
     from semantic_abstraction_tpu.cli import eval as eval_cli
     from semantic_abstraction_tpu.cli import train_vool

@@ -1,5 +1,6 @@
 """Visualize CLI building blocks (dense grid, obj export, dense decode)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,7 @@ def test_dense_decode_matches_direct():
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_visualize_ovssc_inference_end_to_end(tmp_path):
     """Scene pickle -> relevancy (random CLIP) -> dense inference -> objs."""
     import pickle
@@ -149,6 +151,7 @@ def test_visualize_vool_inference_and_turntable(tmp_path):
     assert list(out_dir.glob("mug_on_table.*")) != []
 
 
+@pytest.mark.slow
 def test_visualize_clip_spatial_approach(tmp_path):
     """--approach clip_spatial runs the full-description relevancy path."""
     from semantic_abstraction_tpu.cli import visualize
@@ -217,6 +220,7 @@ def test_restore_net_config_from_args_pkl(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_visualize_semantic_aware_vool(tmp_path):
     """--approach semantic_aware VOOL: RGB completion + CLIP-text query
     (raw encode_text features, like train_vool.make_text_encoder)."""

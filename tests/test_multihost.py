@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(__file__)
 WORKER = os.path.join(HERE, "multihost_worker.py")
 

@@ -213,6 +213,7 @@ def test_train_step_sharded_8_devices():
     assert np.isfinite(float(stats["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """DP on 8 chips == single-device on the concatenated batch."""
     rs = np.random.RandomState(8)
