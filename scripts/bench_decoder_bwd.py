@@ -27,18 +27,25 @@ def main():
     ap.add_argument("--dhw", type=int, default=128)
     ap.add_argument("--c", type=int, default=16)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="vol/cotangent dtype; bfloat16 engages the half-"
+                         "width staging grid in the custom VJP")
     args = ap.parse_args()
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from semantic_abstraction_tpu.ops.sampling import grid_sample_3d_cl
 
     s, c = args.dhw, args.c
+    dt_ = jnp.dtype(args.dtype)
     rs = np.random.RandomState(0)
-    vol = jnp.asarray(rs.randn(args.patches, s, s, s, c).astype(np.float32))
+    vol = jnp.asarray(rs.randn(args.patches, s, s, s, c).astype(np.float32),
+                      dt_)
     coords = jnp.asarray(
         rs.uniform(-1, 1, (args.patches, args.n, 3)).astype(np.float32))
 
     def loss(vol, coords):
-        return grid_sample_3d_cl(vol, coords).sum()
+        return grid_sample_3d_cl(vol, coords).sum(dtype=jnp.float32)
 
     f = jax.jit(jax.grad(loss, argnums=(0,)))
     (g,) = f(vol, coords)
@@ -49,7 +56,7 @@ def main():
         (g,) = f(vol, coords)
     np.asarray(g[0, 0, 0, 0, :1])
     dt = (time.perf_counter() - t0) / args.reps
-    print(f"fwd+bwd {args.patches}x{args.n} pts, {s}^3 x {c}ch: "
+    print(f"fwd+bwd {args.patches}x{args.n} pts, {s}^3 x {c}ch {args.dtype}: "
           f"{dt * 1e3:.1f} ms/call")
 
 

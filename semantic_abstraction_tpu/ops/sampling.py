@@ -132,14 +132,24 @@ def _grid_sample_cl_bwd(res, g):
     (see the kernel construction below). Border clamping is reproduced
     by folding the overflow planes onto the last valid planes (their
     weights are zero anyway for clipped coords).
+
+    Accumulation precision FOLLOWS THE COTANGENT DTYPE: a bf16 cotangent
+    (the bf16 train step's regime) stages and convolves in bf16 — the
+    staging grid is the dominant HBM traffic of the decoder backward
+    (~1.1 GB f32 per batch row at the 128^3 x 16ch train shapes; halved
+    in bf16) and dvol is cast to vol.dtype (bf16) at the end regardless.
+    Scatter collisions are rare (400k points into 2.1M staging bins) and
+    the conv's corner reduction still accumulates f32 on the MXU. An f32
+    cotangent (all parity tests) keeps the exact f32 path.
     """
     vol, coords = res
     b, d, h, w, c = vol.shape
     n = coords.shape[1]
+    acc = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
     x0, y0, z0, fx, fy, fz = _grid_sample_prep((d, h, w), coords)
     gf = g.astype(jnp.float32)
     w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
-    data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, 8 * c)
+    data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, 8 * c).astype(acc)
     lin0 = (z0 * (h + 1) + y0) * (w + 1) + x0  # base corner in staging grid
     lin = (z0 * h + y0) * w + x0
 
@@ -156,7 +166,7 @@ def _grid_sample_cl_bwd(res, g):
             for dx in range(2):
                 j = (dz * 2 + dy) * 2 + dx
                 ker[1 - dz, 1 - dy, 1 - dx, j * c : (j + 1) * c] = np.eye(c)
-    ker = jnp.asarray(ker)
+    ker = jnp.asarray(ker, acc)
 
     def row(args):
         vol_r, data_r, lin0_r, lin_r, gf_r, fx_r, fy_r, fz_r = args
@@ -169,7 +179,7 @@ def _grid_sample_cl_bwd(res, g):
         # per-corner slice-and-add formulation forced XLA into a
         # 128-iteration relayout loop over the 1.1 GB staging
         # (~75 ms/row on v5e); the conv form runs at memory speed.
-        staging = jnp.zeros(((d + 1) * (h + 1) * (w + 1), 8 * c), jnp.float32)
+        staging = jnp.zeros(((d + 1) * (h + 1) * (w + 1), 8 * c), acc)
         staging = staging.at[lin0_r].add(data_r)
         out = jax.lax.conv_general_dilated(
             staging.reshape(1, d + 1, h + 1, w + 1, 8 * c),

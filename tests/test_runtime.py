@@ -195,6 +195,32 @@ def test_train_step_single_device_decreases_loss():
     assert int(state.step) == 8
 
 
+def test_train_step_bf16_compute_decreases_loss():
+    """The production regime (compute_dtype=bfloat16) trains: exercises the
+    bf16 cotangent path of the sampler VJP (bf16 staging grid,
+    ops/sampling.py _grid_sample_cl_bwd) end-to-end. The loss must track
+    the f32 step closely at step 1 and decrease like it."""
+    rs = np.random.RandomState(6)
+    params = init_semabs3d(jax.random.PRNGKey(0), TINY)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batch(rs, 1))
+    losses = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        tx = make_optimizer(lr=1e-2, num_warmup_steps=1,
+                            num_training_steps=50)
+        state = init_train_state(params, tx)
+        step = make_train_step(ovssc_forward_loss, TINY, tx,
+                               compute_dtype=dt, donate=False)
+        ls = []
+        for _ in range(8):
+            state, stats = step(state, batch)
+            ls.append(float(stats["loss"]))
+        losses[dt] = ls
+    bf = losses[jnp.bfloat16]
+    assert np.isfinite(bf).all()
+    assert bf[-1] < bf[0]
+    np.testing.assert_allclose(bf[0], losses[jnp.float32][0], rtol=2e-2)
+
+
 def test_train_step_sharded_8_devices():
     assert len(jax.devices()) >= 8
     rs = np.random.RandomState(7)
