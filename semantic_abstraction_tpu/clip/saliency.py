@@ -359,6 +359,7 @@ class ClipSaliency:
         prompt_batch_size: int = 32,
         num_layers: int = 10,
         label_bucket: int = 0,
+        scale_group_tiles: int = 384,
     ):
         self.params = params
         self.cfg = cfg
@@ -366,6 +367,11 @@ class ClipSaliency:
         self.tile_batch_size = tile_batch_size
         self.prompt_batch_size = prompt_batch_size
         self.num_layers = num_layers
+        # consecutive scales whose combined tile count (after jitter) fits
+        # this cap share ONE jitted dispatch (see _scale_group_fn); the
+        # cap also bounds the materialized resized-tile tensor of a group
+        # (384 tiles x (3, 224, 224) f32 = 231 MB). 0 disables grouping.
+        self.scale_group_tiles = scale_group_tiles
         # label_bucket > 0 pads the label axis up to a multiple before the
         # jitted extraction and slices the pad off after. The saliency
         # programs are compiled per (shape, num_labels); a dataset sweep
@@ -380,6 +386,7 @@ class ClipSaliency:
         self._visual_jit = {}
         self._accum_jit = {}
         self._convolve_jit = {}
+        self._group_jit = {}
         self._prep_jit = {}
         self._combine_jit = {}
 
@@ -643,6 +650,113 @@ class ClipSaliency:
         self._convolve_jit[sig] = jax.jit(fn)
         return self._convolve_jit[sig]
 
+    def _scale_group_fn(self, hw: Tuple[int, int], plans: Tuple[ScalePlan, ...],
+                        config: SaliencyConfig, num_labels: int,
+                        n_images: int):
+        """ONE jitted dispatch for SEVERAL small scales.
+
+        The per-scale dispatch (``_scale_fn``) pays one tunnel round trip
+        (~25 ms measured) per scale, and the small scales' gradcam batches
+        are tiny (ours@480x640: 12 and 90 tiles — the 12-tile dispatch
+        measured ~7.7 TFLOP/s against ~125 at batch 64-96). Here every
+        scale in the group extracts + bicubic-resizes its tiles up front
+        (all resized tiles are (3, R, R), so scales concatenate; the group
+        cap bounds the materialized tensor), ONE exact-divisor-chunked
+        gradcam sweeps the combined batch at full rate, and each scale's
+        relevancy slice overlap-adds to its own count-normalized canvas.
+        Values are bit-identical to the per-scale path: per-tile gradcam is
+        batch-independent, and chunk boundaries only regroup independent
+        rows. Measured round 4: grouping 12+90+210 collapsed 3 dispatches
+        to 1 (see KERNELS.md).
+        """
+        sig = (hw, tuple((p.tile_size, p.stride, p.nx, p.ny) for p in plans),
+               config.positive_attn_only, config.horizontal_flipping,
+               num_labels, n_images)
+        if sig in self._group_jit:
+            return self._group_jit[sig]
+        resolution = self.cfg.image_resolution
+        mean = jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
+        std = jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
+        ns = [n_images * p.offsets.shape[0] for p in plans]
+        n = sum(ns)
+        bs = min(self.tile_batch_size, n)
+        if n > bs:
+            lo, hi = max(1, bs // 2), bs + bs // 2
+            divisors = [d for d in range(lo, hi + 1) if n % d == 0]
+            if divisors:
+                bs = max(divisors)
+        pad = (-n) % bs
+        nchunks = (n + pad) // bs
+        per_plan = []  # static (img_idx, offsets, tile_size, resize matrix)
+        for p in plans:
+            t_count = p.offsets.shape[0]
+            per_plan.append((
+                np.arange(n_images * t_count, dtype=np.int32) // t_count,
+                np.tile(p.offsets, (n_images, 1)),
+                p.tile_size,
+                resize_matrix(p.tile_size, resolution, "bicubic_pil"),
+            ))
+
+        def fn(visual, images, zw):
+            tiles_all = []
+            for img_idx, offs, ts, rm in per_plan:
+                rm_c = jnp.asarray(rm)
+
+                def crop_one(i, off, ts=ts):
+                    return jax.lax.dynamic_slice(
+                        images, (i, 0, off[0], off[1]), (1, 3, ts, ts)
+                    )[0]
+
+                t_ = jax.vmap(crop_one)(jnp.asarray(img_idx),
+                                        jnp.asarray(offs))
+                t_ = jnp.einsum("bchw,oh->bcow", t_, rm_c)
+                t_ = jnp.einsum("bcow,pw->bcop", t_, rm_c)
+                tiles_all.append(t_)
+            tiles = jnp.concatenate(tiles_all, axis=0)
+            tiles = ((jnp.clip(tiles, 0.0, 1.0) - mean) / std).astype(
+                self.compute_dtype
+            )
+            if pad:
+                tiles = jnp.pad(tiles, ((0, pad),) + ((0, 0),) * 3)
+
+            def chunk_fn(tl):
+                rel = gradcam_label_chunked(
+                    visual, tl, zw,
+                    prompt_batch_size=self.prompt_batch_size,
+                    cfg=self.cfg, num_layers=self.num_layers,
+                    positive_attn_only=config.positive_attn_only,
+                    compute_dtype=self.compute_dtype,
+                )
+                if config.horizontal_flipping:
+                    rel_f = gradcam_label_chunked(
+                        visual, tl[..., ::-1], zw,
+                        prompt_batch_size=self.prompt_batch_size,
+                        cfg=self.cfg, num_layers=self.num_layers,
+                        positive_attn_only=config.positive_attn_only,
+                        compute_dtype=self.compute_dtype,
+                    )
+                    rel = (rel + rel_f[..., ::-1]) / 2.0
+                return rel  # (L, bs, g, g)
+
+            rels = jax.lax.map(
+                chunk_fn,
+                tiles.reshape(nchunks, bs, 3, resolution, resolution),
+            )  # (nchunks, L, bs, g, g)
+            g = rels.shape[-1]
+            rel = jnp.moveaxis(rels, 1, 0).reshape(
+                num_labels, nchunks * bs, g, g
+            )[:, :n]
+            canvases = []
+            o = 0
+            for p, n_i in zip(plans, ns):
+                cv = _accumulate_body(rel[:, o:o + n_i], p, hw, n_images)
+                canvases.append(cv / jnp.asarray(p.count)[None])
+                o += n_i
+            return tuple(canvases)
+
+        self._group_jit[sig] = jax.jit(fn)
+        return self._group_jit[sig]
+
     def _saliency_convolve(self, img: np.ndarray, zw: jax.Array,
                            config: SaliencyConfig, key: jax.Array) -> jax.Array:
         h, w = img.shape[:2]
@@ -670,14 +784,40 @@ class ClipSaliency:
                 if config.augmentations > 0
                 else jnp.zeros((0, 2), jnp.uint32))
         images = self._prep_jit[sig_p](base_u8, keys)
-        plan_canvases = [
-            (plan,
-             self._scale_fn((h, w), plan, config, int(zw.shape[1]), n_images)(
-                 self.params["visual"], images, zw
-             ))
-            for plan in plans
-            if plan.offsets.shape[0] > 0
-        ]
+        # group consecutive small scales under one dispatch (see
+        # _scale_group_fn); a scale whose tile count exceeds the cap (the
+        # big scales, e.g. ours@480x640's 1248) keeps its own program
+        live = [p for p in plans if p.offsets.shape[0] > 0]
+        cap = self.scale_group_tiles
+        groups: list = []
+        cur: list = []
+        cur_tiles = 0
+        for plan in live:
+            t = n_images * plan.offsets.shape[0]
+            if t > cap:
+                if cur:
+                    groups.append(cur)
+                    cur, cur_tiles = [], 0
+                groups.append([plan])
+                continue
+            if cur and cur_tiles + t > cap:
+                groups.append(cur)
+                cur, cur_tiles = [], 0
+            cur.append(plan)
+            cur_tiles += t
+        if cur:
+            groups.append(cur)
+        plan_canvases = []
+        for grp in groups:
+            if len(grp) == 1:
+                plan_canvases.append((grp[0], self._scale_fn(
+                    (h, w), grp[0], config, int(zw.shape[1]), n_images
+                )(self.params["visual"], images, zw)))
+            else:
+                cvs = self._scale_group_fn(
+                    (h, w), tuple(grp), config, int(zw.shape[1]), n_images
+                )(self.params["visual"], images, zw)
+                plan_canvases.extend(zip(grp, cvs))
         if not plan_canvases:
             raise ValueError(
                 f"no crop in the saliency config fits a {h}x{w} image "

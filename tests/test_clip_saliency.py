@@ -138,6 +138,36 @@ def test_saliency_end_to_end_shapes(tiny_saliency):
     assert (np.abs(m) > 0).any()
 
 
+def test_scale_grouping_matches_per_scale(tiny_saliency):
+    """Small scales grouped under one dispatch (_scale_group_fn) produce
+    the same maps as the per-scale path: per-tile gradcam is
+    batch-independent and chunk boundaries only regroup independent rows."""
+    rs = np.random.RandomState(11)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16), CropSpec(32, 8)),
+        horizontal_flipping=True,
+        augmentations=1,
+    )
+    labels = ["chair", "table", "sofa"]
+    ungrouped = ClipSaliency(
+        tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
+        num_layers=0, scale_group_tiles=0,
+    )
+    maps_g, _ = tiny_saliency.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
+    )
+    maps_u, _ = ungrouped.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
+    )
+    # the grouped path really engaged (both scales fit one program)
+    assert tiny_saliency._group_jit and not ungrouped._group_jit
+    np.testing.assert_allclose(
+        np.asarray(maps_g, np.float32), np.asarray(maps_u, np.float32),
+        atol=1e-3, rtol=1e-3,
+    )
+
+
 def test_label_bucket_matches_exact(tiny_saliency):
     """label_bucket pads the label axis up to a multiple and slices back;
     per-label gradcam is independent so results are identical."""
