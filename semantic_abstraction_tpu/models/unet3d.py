@@ -40,7 +40,8 @@ def feature_maps_per_level(f_maps: int, num_levels: int) -> list:
 
 def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
                        scale_c: jax.Array, bias_c: jax.Array,
-                       eps: float) -> jax.Array:
+                       eps: float, count: int | None = None,
+                       mask_1d: tuple | None = None) -> jax.Array:
     """Shared GN core: per-channel stats -> group pooling -> ONE
     per-channel affine on the big tensor.
 
@@ -51,6 +52,14 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     come from tiny (B, C) per-channel moments pooled with a constant
     (C, G) averaging matrix, and normalization is a per-channel
     scale+shift that XLA fuses into one elementwise pass.
+
+    ``count``/``mask_1d`` support the ODD (phase-shifted) blocked basis
+    (see phase_conv): tensors there carry zero pad slots that must not
+    bias the statistics (``count`` = number of REAL positions per channel;
+    the sums are unaffected because pads are zero) and must STAY zero
+    through the affine's bias (``mask_1d`` = per-dim (C, n) 0/1 factors,
+    applied as a lazily-broadcast product that XLA fuses into the same
+    elementwise pass).
     """
     b, c = x.shape[:2]
     # moments over ONE flat spatial axis: with separate (D, H, W) axes the
@@ -59,8 +68,9 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     # reshape and keeps the reduce full-lane
     x_flat = x.reshape(b, c, -1)
     xf = x_flat.astype(jnp.float32)
-    s1 = xf.mean(axis=2)  # (B, C)
-    s2 = (xf * xf).mean(axis=2)  # (B, C)
+    n = count if count is not None else x_flat.shape[2]
+    s1 = xf.sum(axis=2) / n  # (B, C)
+    s2 = (xf * xf).sum(axis=2) / n  # (B, C)
     pool = np.zeros((c, num_groups), np.float32)
     pool[np.arange(c), gid] = 1.0
     pool /= pool.sum(axis=0, keepdims=True)
@@ -76,6 +86,8 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     # measured slightly slower
     shape = (b, c) + (1,) * (x.ndim - 2)
     out = x.astype(jnp.float32) * sc.reshape(shape) + bi.reshape(shape)
+    if mask_1d is not None:
+        out = _apply_odd_mask(out, mask_1d)
     return out.astype(x.dtype)
 
 
@@ -236,11 +248,15 @@ def conv3d_s2d(x: jax.Array, w: jax.Array) -> jax.Array:
 # 128-lane width. Folding 2x2x2 spatial blocks into channels (16ch@128^3 ->
 # 128ch@64^3) moves the top UNet levels onto the fast path. A per-conv
 # rewrite loses the gain to pad/transpose pairs (conv3d_s2d), so these ops
-# keep a whole level in the blocked basis: s2d once, then blocked conv /
-# GroupNorm / ReLU / residual / 2x2x2-maxpool (a free max over the 8 offset
-# channels) / transposed conv, with one d2s per level boundary.
-# All are exact algebraic rewrites of the reference ops — checkpoints and
-# outputs are unchanged (see tests).
+# keep a whole level in the blocked basis: one s2d per level entry, one
+# d2s per exit. All are exact algebraic rewrites of the reference ops —
+# checkpoints and outputs are unchanged (see tests).
+#
+# The convs themselves run PHASE-ALTERNATING (see the parity section
+# below): the ALIGNED-basis 3^3 blocked conv kept here (blocked_conv3d,
+# used by conv3d_s2d and kept as the validated fallback) pays 8x the
+# original MACs; the parity form pays 64/27 ≈ 2.37x and is what
+# residual_unet3d executes.
 # ---------------------------------------------------------------------------
 
 
@@ -274,6 +290,212 @@ def blocked_max_pool(xb: jax.Array) -> jax.Array:
     the UNBLOCKED pooled tensor (B, C, D/2, H/2, W/2)."""
     b, c8 = xb.shape[:2]
     return xb.reshape(b, 8, c8 // 8, *xb.shape[2:]).max(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Phase-alternating ("parity") blocked convs.
+#
+# The 3x3x3 conv in the ALIGNED space-to-depth basis (blocked_conv3d) pays
+# 8x the original MACs: its (8O, 8I, 27) kernel is only 1/8 dense (each
+# output offset uses 27 of the 216 blocked taps) and the MXU multiplies
+# the structural zeros. Shifting the INPUT blocking by one original voxel
+# (the "odd" basis: block Z holds original positions 2Z-1 and 2Z) makes
+# the union receptive field of one output block exactly TWO adjacent input
+# blocks per dim, so the same conv becomes a 2x2x2-kernel conv with a
+# (8O, 8I, 2, 2, 2) weight of density 27/64 — 64/27 ≈ 2.37x the original
+# MACs instead of 8x, at the same ~90-95% MXU occupancy (measured: the
+# aligned 3^3 blocked convs ran 163-187 TFLOP/s of mostly-wasted work).
+# Both directions (odd->even and even->odd) share one tap rule,
+# d = 2b + s - p per dim, so the three convs of an ExtResNetBlock simply
+# alternate bases with NO relayout between them; only the basis entry /
+# exit (space_to_depth_odd / depth_to_space_odd) changes, at the same cost
+# as the aligned s2d/d2s.
+#
+# Odd-basis tensors carry one pad slot per dim (original positions -1 and
+# D). The invariant is: EVERY odd-basis tensor is pad-zeroed. s2d_odd pads
+# with zeros; phase_conv(out_parity="odd") and the odd GroupNorm re-zero
+# the slots (a lazily-broadcast 0/1 per-dim product fused into the conv
+# epilogue / affine pass); ReLU and residual adds preserve zeros. With
+# zero pads, a VALID 2^3 phase conv reproduces the original conv's zero
+# padding exactly, and GN statistics only need the true-count denominator
+# (sums are unaffected by zeros).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=2)
+def _phase_selector() -> np.ndarray:
+    """(8, 8, 27, 2, 2, 2) 0/1 tensor: Sel[p, s, t, bz, by, bx] = 1 iff
+    original tap t = (dz, dy, dx) lands on 2^3-kernel tap b at output
+    offset p / input slot s — per-dim rule d = 2b + s - p.
+
+    Derivation (per dim): odd input block Zi holds original position
+    2*Zi - 1 + s; output block Zo holds 2*Zo + p (even) or 2*Zo - 1 + p
+    (odd). For BOTH conv directions the input block index is Zo + b with
+    b in {0, 1} (odd->even: VALID over the 1-larger odd input; even->odd:
+    the even input padded by one block each side), and the tap works out
+    to d = in - out + 1 = 2b + s - p in both cases, valid when 0 <= d < 3.
+    """
+    sel1 = np.zeros((2, 2, 2, 3), np.float32)  # (p, b, s, d)
+    for p in range(2):
+        for bb in range(2):
+            for s in range(2):
+                d = 2 * bb + s - p
+                if 0 <= d < 3:
+                    sel1[p, bb, s, d] = 1.0
+    sel = np.einsum(
+        "aiud,bjve,ckwf->abcuvwdefijk", sel1, sel1, sel1
+    )  # (pz,py,px, sz,sy,sx, dz,dy,dx, bz,by,bx)
+    return np.ascontiguousarray(sel.reshape(8, 8, 27, 2, 2, 2))
+
+
+def _phase_weights(w: jax.Array) -> jax.Array:
+    """(O, I, 3, 3, 3) kernel -> (8O, 8I, 2, 2, 2) phase-conv kernel
+    (density 27/64), as ONE einsum against a constant 0/1 selector —
+    exact in any dtype (each output element selects one original tap)."""
+    o, i = w.shape[:2]
+    sel = jnp.asarray(_phase_selector(), w.dtype)
+    wg = jnp.einsum("oit,pstzyx->posizyx", w.reshape(o, i, 27), sel)
+    return wg.reshape(8 * o, 8 * i, 2, 2, 2)
+
+
+@functools.lru_cache(maxsize=64)
+def _odd_mask_1d(c8: int, n: int, dim: int) -> np.ndarray:
+    """(c8, n) 0/1 factor zeroing the odd-basis pad slots along one
+    blocked dim: slot s=0 of block 0 is original position -1, slot s=1 of
+    block n-1 is position D — both pads. dim selects which offset bit of
+    the blocked channel (s-major order ((sz*2+sy)*2+sx)*C + c) applies."""
+    c = c8 // 8
+    shift = (2 - dim)  # dim 0 -> sz (bit 2), 1 -> sy (bit 1), 2 -> sx
+    s = (np.arange(c8) // c >> shift) & 1
+    m = np.ones((c8, n), np.float32)
+    m[s == 0, 0] = 0.0
+    m[s == 1, n - 1] = 0.0
+    return m
+
+
+def _odd_masks(xb: jax.Array) -> tuple:
+    c8, zn, yn, xn = xb.shape[1:5]
+    return (_odd_mask_1d(c8, zn, 0), _odd_mask_1d(c8, yn, 1),
+            _odd_mask_1d(c8, xn, 2))
+
+
+def _apply_odd_mask(x: jax.Array, mask_1d: tuple) -> jax.Array:
+    """Multiply by the three per-dim factors; broadcasts stay lazy so XLA
+    fuses the whole product into the surrounding elementwise pass."""
+    mz, my, mx = (jnp.asarray(m, x.dtype) for m in mask_1d)
+    return (x * mz[None, :, :, None, None] * my[None, :, None, :, None]
+            * mx[None, :, None, None, :])
+
+
+def space_to_depth_odd(x: jax.Array) -> jax.Array:
+    """(B, C, D, H, W) (even dims) -> ODD-basis (B, 8C, D/2+1, ...):
+    block Z holds original positions (2Z-1, 2Z); pads are zero."""
+    return _space_to_depth(
+        jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    )
+
+
+def depth_to_space_odd(xb: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth_odd (trims the pad slots)."""
+    y = _depth_to_space(xb)
+    return y[:, :, 1:-1, 1:-1, 1:-1]
+
+
+def phase_conv(xb: jax.Array, w: jax.Array, out_parity: str) -> jax.Array:
+    """3x3x3 same-padding conv as a 2^3 conv between blocked bases.
+
+    odd -> even (``out_parity="even"``): VALID over the one-larger odd
+    input. even -> odd (``"odd"``): pad one block each side (those blocks
+    are original positions {-2,-1} / {D,D+1}; only -1 and D are reachable
+    by the taps, matching the original zero padding), then re-zero the
+    output's pad slots to keep the odd-basis invariant.
+    """
+    wb = _phase_weights(w.astype(xb.dtype))
+    pad = [(0, 0)] * 3 if out_parity == "even" else [(1, 1)] * 3
+    out = jax.lax.conv_general_dilated(
+        xb, wb, window_strides=(1, 1, 1), padding=pad,
+        dimension_numbers=_DIMNUMS,
+    )
+    if out_parity == "odd":
+        out = _apply_odd_mask(out, _odd_masks(out))
+    return out
+
+
+def blocked_max_pool_odd(xb: jax.Array) -> jax.Array:
+    """2x2x2 stride-2 max pool of an ODD-basis tensor, emitting the PLAIN
+    pooled tensor (B, C, D/2, ...). Pool pairs (2k, 2k+1) live in adjacent
+    odd blocks (k slot 1, k+1 slot 0), so the pool is an elementwise max
+    of 8 shifted slices — one fused pass, no basis conversion."""
+    b, c8, zn, yn, xn = xb.shape
+    c = c8 // 8
+    n = (zn - 1, yn - 1, xn - 1)
+    out = None
+    for oz in range(2):
+        for oy in range(2):
+            for ox in range(2):
+                s_idx = ((1 - oz) * 2 + (1 - oy)) * 2 + (1 - ox)
+                piece = xb[:, s_idx * c:(s_idx + 1) * c,
+                           oz:oz + n[0], oy:oy + n[1], ox:ox + n[2]]
+                out = piece if out is None else jnp.maximum(out, piece)
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _odd_transpose_maps():
+    """(s, K) -> transposed-conv tap k_t for stride-2/k-3/pad-1/outpad-1
+    with ODD-blocked output: odd block Z slot s covers j = 2Z - 1 + s;
+    per dim out[j] taps x[Z - 1 + K]: (s=0, K=0) -> w_t[2],
+    (s=0, K=1) -> w_t[0], (s=1, K=1) -> w_t[1]; (s=1, K=0) unused."""
+    idx = np.zeros((2, 2), np.int64)
+    valid = np.zeros((2, 2), bool)
+    idx[0, 0], valid[0, 0] = 2, True
+    idx[0, 1], valid[0, 1] = 0, True
+    idx[1, 1], valid[1, 1] = 1, True
+    return idx, valid
+
+
+def blocked_conv_transpose_odd(x: jax.Array, w_t: jax.Array,
+                               bias=None) -> jax.Array:
+    """torch ConvTranspose3d(k=3, s=2, p=1, op=1) producing ODD-basis
+    output directly: x (B, I, n, ...) unblocked low-res, w_t torch layout
+    (I, O, 3, 3, 3); returns (B, 8O, n+1, ...) ==
+    space_to_depth_odd(conv_transpose3d(x, w_t)). One pad-(1,1) 2^3 conv;
+    the output pad slots are re-zeroed (bias would otherwise leak)."""
+    i, o = w_t.shape[:2]
+    idx, valid = _odd_transpose_maps()
+    fi = idx.reshape(-1)
+    fv = valid.reshape(-1)
+    wg = w_t[:, :, fi[:, None, None], fi[None, :, None], fi[None, None, :]]
+    mask = fv[:, None, None] & fv[None, :, None] & fv[None, None, :]
+    wg = wg * jnp.asarray(mask, w_t.dtype)
+    wg = wg.reshape(i, o, 2, 2, 2, 2, 2, 2)  # (i, o, sz,Kz, sy,Ky, sx,Kx)
+    # -> (sz,sy,sx,o, i, Kz,Ky,Kx) -> (8O, I, 2, 2, 2)
+    wg = wg.transpose(2, 4, 6, 1, 0, 3, 5, 7).reshape(8 * o, i, 2, 2, 2)
+    out = jax.lax.conv_general_dilated(
+        x, wg.astype(x.dtype), window_strides=(1, 1, 1),
+        padding=[(1, 1)] * 3, dimension_numbers=_DIMNUMS,
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), 8).reshape(
+            1, -1, 1, 1, 1
+        )
+    return _apply_odd_mask(out, _odd_masks(out))
+
+
+def blocked_group_norm_odd(xb: jax.Array, scale: jax.Array, bias: jax.Array,
+                           num_groups: int, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm in the ODD blocked basis: pads are zero (invariant), so
+    the sums are exact and only the denominator changes — every blocked
+    channel has exactly (zn-1)(yn-1)(xn-1) real positions. The affine
+    re-zeros the pad slots (the bias would otherwise leak into them)."""
+    c8, zn, yn, xn = xb.shape[1:5]
+    c = c8 // 8
+    g = num_groups if c >= num_groups else 1
+    gid = (np.arange(c8) % c) // (c // g)
+    return _group_norm_affine(
+        xb, gid, g, jnp.tile(scale, 8), jnp.tile(bias, 8), eps,
+        count=(zn - 1) * (yn - 1) * (xn - 1), mask_1d=_odd_masks(xb),
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -329,19 +551,33 @@ def depth_to_space(x: jax.Array) -> jax.Array:
 
 
 def blocked_ext_resnet_block(params: dict, xb: jax.Array,
-                             num_groups: int) -> jax.Array:
-    """ExtResNetBlock in the blocked basis (== ext_resnet_block exactly)."""
+                             num_groups: int,
+                             in_parity: str = "odd") -> jax.Array:
+    """ExtResNetBlock in the blocked basis (== ext_resnet_block exactly),
+    with phase-alternating convs: each conv flips the basis, so with an
+    ODD input (encoder levels: space_to_depth_odd) the residual (conv1
+    output) and the block output are both EVEN — max-pool/skips need no
+    relayout — and with an EVEN input (decoder levels: transposed conv +
+    skip sum) both land ODD, exited through depth_to_space_odd."""
 
-    def single(p, h, relu):
-        h = blocked_group_norm(h, p["gn_scale"], p["gn_bias"], num_groups)
-        h = jax.ad_checkpoint.checkpoint_name(h, "gn_out")
-        h = blocked_conv3d(h, p["w"])
+    def single(p, h, relu, par):
+        if par == "odd":
+            h = blocked_group_norm_odd(h, p["gn_scale"], p["gn_bias"],
+                                       num_groups)
+            h = jax.ad_checkpoint.checkpoint_name(h, "gn_out")
+            h = phase_conv(h, p["w"], out_parity="even")
+        else:
+            h = blocked_group_norm(h, p["gn_scale"], p["gn_bias"],
+                                   num_groups)
+            h = jax.ad_checkpoint.checkpoint_name(h, "gn_out")
+            h = phase_conv(h, p["w"], out_parity="odd")
         return jax.nn.relu(h) if relu else h
 
-    out = single(params["conv1"], xb, True)
+    flip = "even" if in_parity == "odd" else "odd"
+    out = single(params["conv1"], xb, True, in_parity)
     residual = out
-    out = single(params["conv2"], out, True)
-    out = single(params["conv3"], out, False)
+    out = single(params["conv2"], out, True, flip)
+    out = single(params["conv3"], out, False, in_parity)
     return jax.nn.relu(out + residual)
 
 
@@ -414,7 +650,13 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
 
     The ``blocked_levels`` shallowest levels execute in the space-to-depth
     basis (see blocked_* ops above): identical math, ~8x larger channel
-    dim so the convs hit the MXU fast path instead of ~4.8 TFLOP/s.
+    dim so the convs hit the MXU fast path instead of ~4.8 TFLOP/s, with
+    the convs phase-alternating between the aligned and odd bases
+    (phase_conv: 2^3 kernels at 2.37x the original MACs instead of the
+    aligned 3^3 form's 8x). Encoder blocks enter even (plain s2d) and
+    exit odd (pooled directly by blocked_max_pool_odd); decoder blocks
+    enter odd (blocked_conv_transpose_odd + odd skip) and exit even
+    (plain d2s) — basis entry/exit never materializes a padded volume.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -443,8 +685,8 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
             policy = jax.checkpoint_policies.nothing_saveable
         block = jax.checkpoint(ext_resnet_block, static_argnums=(2,),
                                policy=policy)
-        block_b = jax.checkpoint(blocked_ext_resnet_block, static_argnums=(2,),
-                                 policy=policy)
+        block_b = jax.checkpoint(blocked_ext_resnet_block,
+                                 static_argnums=(2, 3), policy=policy)
     else:
         block = ext_resnet_block
         block_b = blocked_ext_resnet_block
@@ -462,10 +704,14 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
         use_blocked = _level_is_blocked(i, blocked_levels, c, x.shape[2:])
         blocked_flags.append(use_blocked)
         if use_blocked:
+            # plain (EVEN) s2d entry — the ODD basis is only ever reached
+            # THROUGH a conv (no materialized 130^3 pad): the block's convs
+            # alternate even -> odd -> even -> odd, its output (and the
+            # skip) are ODD, and the pool reads the odd basis directly
             xb = space_to_depth(x)
-            xb = block_b(enc, xb, num_groups)
+            xb = block_b(enc, xb, num_groups, "even")  # -> ODD basis
             skips.insert(0, (True, xb))
-            x = blocked_max_pool(xb)  # pooled, unblocked, next level input
+            x = blocked_max_pool_odd(xb)  # pooled, unblocked next input
             prev_pooled = True
         else:
             x = block(enc, x, num_groups)
@@ -476,15 +722,15 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
     # step too far — only reachable when every level is blocked; guard:
     if blocked_flags[-1]:
         is_b, xb = skips[0]
-        x = depth_to_space(xb)
+        x = depth_to_space_odd(xb)
     skips = skips[1:]
 
     for dec, (skip_blocked, skip) in zip(params["decoders"], skips):
         if skip_blocked:
-            xb = blocked_conv_transpose3d(x, dec["up_w"], dec["up_b"])
-            xb = xb + skip
-            xb = block_b(dec, xb, num_groups)
-            x = depth_to_space(xb)
+            xb = blocked_conv_transpose_odd(x, dec["up_w"], dec["up_b"])
+            xb = xb + skip  # both ODD basis (pads zero on both sides)
+            xb = block_b(dec, xb, num_groups, "odd")  # -> EVEN basis
+            x = depth_to_space(xb)  # plain d2s exit
         else:
             x = conv_transpose3d(x, dec["up_w"], dec["up_b"])
             x = x + skip  # sum joining (unet3d.py:392-396)

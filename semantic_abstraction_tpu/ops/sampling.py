@@ -150,7 +150,13 @@ def _grid_sample_cl_bwd(res, g):
     gf = g.astype(jnp.float32)
     w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
     data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, 8 * c).astype(acc)
-    lin0 = (z0 * (h + 1) + y0) * (w + 1) + x0  # base corner in staging grid
+    # staging W dim padded to the 8-sublane tile: at w+1 = 129 XLA padded
+    # and reshaped the 550 MB staging around the corner conv (measured
+    # ~29 ms/step of pure copies); an aligned allocation costs +5% scatter
+    # traffic and no copies. D/H need no alignment (only the minor two
+    # dims are tiled).
+    w1p = -(-(w + 1) // 8) * 8
+    lin0 = (z0 * (h + 1) + y0) * w1p + x0  # base corner in staging grid
     lin = (z0 * h + y0) * w + x0
 
     fxe = fx[..., None].astype(jnp.float32)
@@ -179,19 +185,20 @@ def _grid_sample_cl_bwd(res, g):
         # per-corner slice-and-add formulation forced XLA into a
         # 128-iteration relayout loop over the 1.1 GB staging
         # (~75 ms/row on v5e); the conv form runs at memory speed.
-        staging = jnp.zeros(((d + 1) * (h + 1) * (w + 1), 8 * c), acc)
+        staging = jnp.zeros(((d + 1) * (h + 1) * w1p, 8 * c), acc)
         staging = staging.at[lin0_r].add(data_r)
-        out = jax.lax.conv_general_dilated(
-            staging.reshape(1, d + 1, h + 1, w + 1, 8 * c),
+        # negative high padding folds the output trim into the conv (the
+        # overflow planes d/h/w receive ONLY zero-weight contributions:
+        # _grid_sample_prep clips ix to size-1, so a base corner on the
+        # far face always has fraction exactly 0 — the old explicit
+        # border fold-adds were adding provable zeros)
+        dvol_r = jax.lax.conv_general_dilated(
+            staging.reshape(1, d + 1, h + 1, w1p, 8 * c),
             ker,
             window_strides=(1, 1, 1),
-            padding=[(1, 0)] * 3,
+            padding=[(1, -1), (1, -1), (1, w - w1p)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )[0]  # (d+1, h+1, w+1, c)
-        out = out.at[d - 1].add(out[d])
-        out = out.at[:, h - 1].add(out[:, h])
-        out = out.at[:, :, w - 1].add(out[:, :, w])
-        dvol_r = out[:d, :h, :w]
+        )[0]  # (d, h, w, c)
 
         # --- d(coords): one packed gather for all 8 corner values
         pack = _row_pack(vol_r).astype(jnp.float32)

@@ -88,6 +88,62 @@ def test_unet3d_bf16_compute_close_to_fp32(ref_unet3d):
 @pytest.mark.parametrize("shape,cin,cout", [
     ((2, 5, 8, 10, 12), 5, 7),
     ((1, 16, 16, 16, 16), 16, 16),
+])
+def test_phase_conv_matches_plain(ref_unet3d, shape, cin, cout):
+    """Phase-alternating 2^3 blocked convs == plain same-padding conv in
+    BOTH directions (models/unet3d.py phase_conv), incl. gradients."""
+    from semantic_abstraction_tpu.models.unet3d import (
+        conv3d,
+        depth_to_space_odd,
+        phase_conv,
+        space_to_depth,
+        space_to_depth_odd,
+    )
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rs.randn(cout, cin, 3, 3, 3).astype(np.float32))
+    ref = np.asarray(conv3d(x, w, padding=1))
+
+    def via_odd_in(w_):  # odd -> even
+        out_b = phase_conv(space_to_depth_odd(x), w_, out_parity="even")
+        from semantic_abstraction_tpu.models.unet3d import depth_to_space
+        return depth_to_space(out_b)
+
+    def via_even_in(w_):  # even -> odd
+        out_b = phase_conv(space_to_depth(x), w_, out_parity="odd")
+        return depth_to_space_odd(out_b)
+
+    for fn in (via_odd_in, via_even_in):
+        np.testing.assert_allclose(np.asarray(fn(w)), ref,
+                                   atol=3e-4, rtol=3e-4)
+        g1 = jax.grad(lambda w_: conv3d(x, w_, padding=1).sum())(w)
+        g2 = jax.grad(lambda w_: fn(w_).sum())(w)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   atol=3e-3, rtol=3e-3)
+
+
+def test_blocked_group_norm_odd_matches_plain():
+    """Odd-basis GN (zero pads + true-count stats + pad re-zeroing) ==
+    plain GN computed before blocking."""
+    from semantic_abstraction_tpu.models.unet3d import (
+        blocked_group_norm_odd,
+        group_norm,
+        space_to_depth_odd,
+    )
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 8, 10, 12).astype(np.float32))
+    sc = jnp.asarray(rs.randn(8).astype(np.float32))
+    bi = jnp.asarray(rs.randn(8).astype(np.float32))
+    want = np.asarray(space_to_depth_odd(group_norm(x, sc, bi, 4)))
+    got = np.asarray(blocked_group_norm_odd(space_to_depth_odd(x), sc, bi, 4))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shape,cin,cout", [
+    ((2, 5, 8, 10, 12), 5, 7),
+    ((1, 16, 16, 16, 16), 16, 16),
     ((1, 32, 8, 8, 8), 32, 32),
 ])
 def test_conv3d_s2d_matches_plain(ref_unet3d, shape, cin, cout):
