@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--remat", default="full", choices=["full", "dots"])
     ap.add_argument("--desc-chunk", type=int, default=1)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--stack", action="store_true",
+                    help="stack target+reference into one batch-2 UNet pass")
+    ap.add_argument("--no-unroll", action="store_true",
+                    help="use the lax.map desc loop instead of the unroll")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
@@ -49,6 +53,8 @@ def main():
         completion=dataclasses.replace(
             base.completion, unet_remat_policy=args.remat),
         desc_chunk=args.desc_chunk,
+        desc_unroll=not args.no_unroll,
+        stack_streams=args.stack,
     )
     params = init_semabs_vool(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(num_training_steps=1000)
@@ -79,7 +85,8 @@ def main():
         state, stats = step(state, batch)
     float(stats["loss"])
     sps = args.reps / (time.perf_counter() - t0)
-    print(f"vool remat={args.remat} desc_chunk={args.desc_chunk}: "
+    print(f"vool remat={args.remat} desc_chunk={args.desc_chunk} "
+          f"unroll={not args.no_unroll} stack={args.stack}: "
           f"{sps:.3f} steps/s ({1e3 / sps:.0f} ms)")
 
 

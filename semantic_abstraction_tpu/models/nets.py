@@ -344,11 +344,19 @@ class SemAbsVOOLConfig:
     pointing_dim: int = 64
     pointing_temperature: float = 0.07
     decoder_concat_xyz_pts: bool = True
-    # process this many descriptions per lax.map step (0 = all at once):
+    # process this many descriptions per chunk (0 = all at once):
     # per-description execution bounds the live set to ONE pair of UNet
     # feature volumes + one decode, which is what fits the full-size
     # two-stream model on a 16 GB chip
     desc_chunk: int = 1
+    # emit the per-description chunks as an UNROLLED barrier-chained
+    # python loop instead of lax.map: the while-loop form cost ~580
+    # ms/step in loop machinery at the full-size regime (see
+    # semabs_vool_forward)
+    desc_unroll: bool = True
+    # run target+reference through ONE stacked batch-2 UNet pass per
+    # description instead of two batch-1 passes
+    stack_streams: bool = False
 
 
 def init_semabs_vool(key, cfg: SemAbsVOOLConfig, dtype=jnp.float32):
@@ -383,14 +391,26 @@ def semabs_vool_forward(
 
     def streams_to_sampled(tgt, ref, out_pts):
         """(B', D', N, 1) streams + (B'*D', M, 3) -> sampled (B'*D', M, pd)."""
-        target_vol = semabs3d_feature_vol(
-            params["completion"], cfg.completion, input_xyz_pts, tgt,
-            tsdf_vol, valid_mask, compute_dtype,
-        )
-        reference_vol = semabs3d_feature_vol(
-            params["completion"], cfg.completion, input_xyz_pts, ref,
-            tsdf_vol, valid_mask, compute_dtype,
-        )
+        if cfg.stack_streams and tgt.shape[0] == 1:
+            # one UNet pass over both streams stacked on the patch axis
+            # (2x the batch, half the dispatches; both volumes are live
+            # simultaneously at the concat anyway)
+            d_ = tgt.shape[1]
+            both = semabs3d_feature_vol(
+                params["completion"], cfg.completion, input_xyz_pts,
+                jnp.concatenate([tgt, ref], axis=1),
+                tsdf_vol, valid_mask, compute_dtype,
+            )
+            target_vol, reference_vol = both[:d_], both[d_:]
+        else:
+            target_vol = semabs3d_feature_vol(
+                params["completion"], cfg.completion, input_xyz_pts, tgt,
+                tsdf_vol, valid_mask, compute_dtype,
+            )
+            reference_vol = semabs3d_feature_vol(
+                params["completion"], cfg.completion, input_xyz_pts, ref,
+                tsdf_vol, valid_mask, compute_dtype,
+            )
         feature_vol = jnp.concatenate([target_vol, reference_vol], axis=-1)
         return implicit_decoder(
             params["spatial_sampler"], feature_vol, cfg.completion.grid,
@@ -399,14 +419,37 @@ def semabs_vool_forward(
 
     dchunk = cfg.desc_chunk
     if dchunk and b == 1 and nd > dchunk and nd % dchunk == 0:
-        # per-description execution: one (target, reference) volume pair
-        # live at a time (the all-at-once two-stream step OOMs 16 GB HBM)
-        tgt = input_target_saliency_pts.reshape(nd // dchunk, 1, dchunk, -1, 1)
-        ref = input_reference_saliency_pts.reshape(nd // dchunk, 1, dchunk, -1, 1)
-        outp = output_xyz_pts.reshape(nd // dchunk, dchunk, m, 3)
-        sampled = jax.lax.map(
-            lambda args: streams_to_sampled(*args), (tgt, ref, outp)
-        ).reshape(nd, m, -1)
+        if cfg.desc_unroll:
+            # UNROLLED per-description execution: the lax.map form spent
+            # ~580 ms/step (half the step) in while-loop machinery at the
+            # full-size regime — loop-boundary dynamic slices, stacked
+            # loop-carried buffer copies, and un-overlapped DMA waits.
+            # A python loop emits the same per-description work without
+            # the loop ops; the optimization_barrier chains each chunk's
+            # inputs to the previous chunk's output so XLA's scheduler
+            # keeps ONE (target, reference) volume pair live at a time
+            # (the all-at-once schedule OOMs 16 GB HBM).
+            outs = []
+            for d0 in range(0, nd, dchunk):
+                tgt_d = input_target_saliency_pts[:, d0:d0 + dchunk]
+                ref_d = input_reference_saliency_pts[:, d0:d0 + dchunk]
+                out_d = output_xyz_pts[:, d0:d0 + dchunk].reshape(dchunk, m, 3)
+                if outs:
+                    tgt_d, ref_d, out_d, _ = jax.lax.optimization_barrier(
+                        (tgt_d, ref_d, out_d, outs[-1]))
+                outs.append(streams_to_sampled(tgt_d, ref_d, out_d))
+            sampled = jnp.concatenate(outs, axis=0)  # (nd, m, pd)
+        else:
+            # per-description execution: one (target, reference) volume
+            # pair live at a time (see desc_unroll for the faster form)
+            tgt = input_target_saliency_pts.reshape(
+                nd // dchunk, 1, dchunk, -1, 1)
+            ref = input_reference_saliency_pts.reshape(
+                nd // dchunk, 1, dchunk, -1, 1)
+            outp = output_xyz_pts.reshape(nd // dchunk, dchunk, m, 3)
+            sampled = jax.lax.map(
+                lambda args: streams_to_sampled(*args), (tgt, ref, outp)
+            ).reshape(nd, m, -1)
     else:
         sampled = streams_to_sampled(
             input_target_saliency_pts, input_reference_saliency_pts,

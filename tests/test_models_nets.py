@@ -218,3 +218,47 @@ def test_semabs_vool_desc_chunk_equivalence():
     out0 = semabs_vool_forward(params, cfg0, **kwargs)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_semabs_vool_unroll_and_stack_equivalence():
+    """The unrolled barrier-chained description loop and the stacked
+    batch-2 stream pass == the lax.map form, values and grads
+    (models/nets.py semabs_vool_forward)."""
+    import dataclasses
+
+    rs = np.random.RandomState(12)
+    base = SemAbsVOOLConfig(completion=TINY, pointing_dim=8, desc_chunk=1,
+                            desc_unroll=False)
+    params = init_semabs_vool(jax.random.PRNGKey(0), base)
+    kwargs = dict(
+        input_xyz_pts=_pts(rs, 1, 40),
+        input_target_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        input_reference_saliency_pts=jnp.asarray(rs.randn(1, 2, 40, 1).astype(np.float32)),
+        output_xyz_pts=jnp.asarray(rs.uniform(-1, 1.9, (1, 2, 30, 3)).astype(np.float32)),
+        spatial_relation_id=jnp.asarray([[0, 3]]),
+    )
+
+    def loss(p, cfg):
+        return (semabs_vool_forward(p, cfg, **kwargs) ** 2).sum()
+
+    want = semabs_vool_forward(params, base, **kwargs)
+    gwant = jax.grad(loss)(params, base)
+    variants = [
+        dataclasses.replace(base, desc_unroll=True),
+        dataclasses.replace(base, desc_unroll=True, stack_streams=True),
+        dataclasses.replace(base, desc_unroll=True, desc_chunk=2,
+                            stack_streams=True),
+    ]
+    for variant in variants:
+        got = semabs_vool_forward(params, variant, **kwargs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+        # grads: same math, different reduction/fusion order, amplified
+        # through the temperature-0.07 pointing attention — compare with
+        # per-leaf NORMALIZED error (elementwise-relative is meaningless
+        # on near-zero elements of an otherwise large leaf)
+        gg = jax.grad(loss)(params, variant)
+        for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gwant)):
+            a, b = np.asarray(a), np.asarray(b)
+            err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+            assert err < 1e-3, (variant, err)
