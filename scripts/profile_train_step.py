@@ -76,8 +76,19 @@ def main():
     try:
         from tensorboard_plugin_profile.convert import raw_to_tool_data
     except Exception as e:
-        print("tensorboard_plugin_profile unavailable:", e)
-        return
+        # the baked TF's C++ protobuf bindings reject the plugin's
+        # generated protos; xplane_opstats.py parses the XSpace directly
+        # under the pure-python protobuf implementation — chain to it
+        print("tensorboard_plugin_profile unavailable:", e, file=sys.stderr)
+        print("falling back to scripts/xplane_opstats.py", file=sys.stderr)
+        env = dict(os.environ, PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python")
+        import subprocess
+        raise SystemExit(subprocess.call(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "xplane_opstats.py"),
+             path, "--top", str(args.top), "--steps", str(args.steps)],
+            env=env))
     for tool in ("framework_op_stats^", "op_profile^", "overview_page^"):
         try:
             data, _ = raw_to_tool_data.xspace_to_tool_data([path], tool, {})
