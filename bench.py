@@ -71,12 +71,66 @@ HEADLINE_LABELS = (
 )
 HEADLINE_PROMPTS = ("a photograph of a {} in a home.",)
 CHILD_TIMEOUT_S = int(os.environ.get("SEMABS_BENCH_TIMEOUT", "3000"))
-# 3000 s: a cold persistent AOT cache pays every remote compile (4
-# saliency scale programs + text encoder + the 128^3 OVSSC train step +
-# the two-stream VOOL train step) before measuring.
+# 3000 s: a cold persistent AOT cache pays every remote compile (the
+# fused per-image saliency program + text encoder + the 128^3 OVSSC train
+# step + the two-stream VOOL train step) before measuring.
 
 
-def _measure_relevancy():
+def _tunnel_probe():
+    """Timed tunnel characterization recorded IN the bench artifact.
+
+    The headline is hostage to tunnel placement (this host live-migrates;
+    measured windows range 20-100 MB/s and 7-75 ms RTT — see KERNELS.md's
+    round-4 reconciliation), so every capture carries its own probe: a
+    slow window is then attributable from the artifact alone, and the
+    pipeline depth adapts to it (see _measure_relevancy).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jnp.zeros((), jnp.float32) + 1.0
+    np.asarray(tiny)
+    add_one = jax.jit(lambda x: x + 1.0)
+    np.asarray(add_one(tiny))  # compile outside the timed loop
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(add_one(tiny))
+        rtts.append(time.perf_counter() - t0)
+    rtt_s = min(rtts)
+
+    mb = 4.0
+    buf = np.random.RandomState(0).rand(
+        int(mb * 1024 * 1024 // 4)).astype(np.float32)
+    first = jax.jit(lambda x: x[:1])
+    up_t = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d = jnp.asarray(buf)
+        np.asarray(first(d))
+        up_t.append(time.perf_counter() - t0)
+    up_mbps = mb / max(min(up_t) - rtt_s, 1e-9)
+    # readback: a FRESH device array per rep — jax.Array caches its host
+    # copy after the first np.asarray, so re-reading one array measures
+    # nothing (the round-5 first capture recorded 648 GB/s that way)
+    big = jnp.zeros((int(mb * 1024 * 1024 // 2),), jnp.float16)
+    make = jax.jit(lambda b, s: b + s)
+    np.asarray(make(big, jnp.float16(0)))  # compile outside the timing
+    down_t = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        np.asarray(make(big, jnp.float16(i + 1)))
+        down_t.append(time.perf_counter() - t0)
+    down_mbps = mb / max(min(down_t) - rtt_s, 1e-9)
+    return {
+        "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
+        "tunnel_upload_MBps": round(up_mbps, 1),
+        "tunnel_readback_MBps": round(down_mbps, 1),
+    }
+
+
+def _measure_relevancy(probe):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -121,17 +175,31 @@ def _measure_relevancy():
     latency = min(times)
 
     # throughput: software-pipelined (the dataset writer's regime,
-    # cli/generate_relevancy.py): image i's host readback overlaps image
-    # i+1's device compute, at depth SEMABS_BENCH_PIPELINE (default 2 —
-    # two images in flight keeps the device busy across the readback AND
-    # the next image's host dispatch work; measured round 4). Keys differ
-    # per image so nothing is memoized; the final readbacks are inside the
+    # cli/generate_relevancy.py): image i's readback overlaps image i+1's
+    # device compute. Each finished image's D2H starts IMMEDIATELY
+    # (copy_to_host_async) so transfers ride under later images' compute;
+    # np.asarray then just completes it. Depth (images in flight) adapts
+    # to the probed tunnel: per-image host exposure is ~2 dispatch RTTs +
+    # a 5.5 MB f16 map readback, and on a degraded tunnel (slow RTT or
+    # <40 MB/s readback) a deeper queue keeps the device fed while
+    # transfers drain. SEMABS_BENCH_PIPELINE overrides. Keys differ per
+    # image so nothing is memoized; the final readbacks are inside the
     # timed region. MEDIAN of 3 passes (advisor round 3): the pipeline's
     # host thread is contention-sensitive — a single stalled pass must not
     # be the headline, and min-of-N would bias optimistic.
     import collections
-    depth = int(os.environ.get("SEMABS_BENCH_PIPELINE", "2"))
-    k = 4
+    env_depth = os.environ.get("SEMABS_BENCH_PIPELINE")
+    if env_depth:
+        depth = int(env_depth)
+    else:
+        degraded = (probe["tunnel_rtt_ms"] > 15.0
+                    or probe["tunnel_readback_MBps"] < 40.0)
+        depth = 4 if degraded else 3
+    k = 6
+
+    def realize(m):
+        np.asarray(m)
+
     walls = []
     for p in range(3):
         t0 = time.perf_counter()
@@ -141,14 +209,18 @@ def _measure_relevancy():
                 img, labels, list(HEADLINE_PROMPTS), config,
                 key=jax.random.PRNGKey(100 + p * k + i),
             )
+            try:
+                maps.copy_to_host_async()
+            except Exception:
+                pass  # non-PjRt arrays: np.asarray below still syncs
             pending.append(maps)
             if len(pending) > depth:
-                np.asarray(pending.popleft())
+                realize(pending.popleft())
         while pending:
-            np.asarray(pending.popleft())
+            realize(pending.popleft())
         walls.append(time.perf_counter() - t0)
     walls.sort()
-    return k * len(labels) / walls[1], latency, walls
+    return k * len(labels) / walls[1], latency, walls, depth
 
 
 def _measure_train():
@@ -291,7 +363,8 @@ def _child_main():
         sys.exit(3)
     print(HEARTBEAT, flush=True)
 
-    maps_per_sec, latency, walls = _measure_relevancy()
+    probe = _tunnel_probe()
+    maps_per_sec, latency, walls, depth = _measure_relevancy(probe)
 
     result = {
         "metric": "relevancy_maps_per_sec_per_chip",
@@ -304,9 +377,13 @@ def _child_main():
         # per-image wall (deterministic numerator; see HEADLINE_IMAGE_FLOPS)
         "relevancy_tflops_per_sec": round(
             HEADLINE_IMAGE_FLOPS / latency / 1e12, 2),
-        # per-pass walls (4 images each): spread >> min flags a contended
+        # per-pass walls (6 images each): spread >> min flags a contended
         # run in the artifact itself instead of silently absorbing it
         "pipeline_walls_s": [round(x, 3) for x in walls],
+        "pipeline_depth": depth,
+        # tunnel probe fields: a slow capture window is attributable from
+        # the artifact alone (clean windows: ~7-25 ms RTT, 20-100 MB/s)
+        **probe,
         "baseline_note": "estimated 3090 floor 1.0 maps/s from counted "
                          "work (3120 ViT fwd + tail bwds + 4.5s host "
                          "tiling); see bench.py docstring",

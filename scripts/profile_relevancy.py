@@ -111,7 +111,7 @@ def main():
                           jnp.uint8)
     n_images = 1 + config.augmentations
     keys = jax.random.split(jax.random.PRNGKey(0), config.augmentations)
-    prep = sal._prep_jit[(base_u8.shape, config.augmentations)]
+    prep = jax.jit(sal._prep_body(config.augmentations))
 
     def prep_stage():
         b = jnp.asarray(np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.uint8)

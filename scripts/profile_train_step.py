@@ -73,13 +73,14 @@ def main():
         return
     path = max(planes, key=os.path.getmtime)
     print("xplane:", path, file=sys.stderr)
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except Exception as e:
+
+    def opstats_fallback(reason):
         # the baked TF's C++ protobuf bindings reject the plugin's
-        # generated protos; xplane_opstats.py parses the XSpace directly
-        # under the pure-python protobuf implementation — chain to it
-        print("tensorboard_plugin_profile unavailable:", e, file=sys.stderr)
+        # generated protos — at import OR at call time (the plugin can
+        # import fine and still die in _pywrap_profiler); xplane_opstats.py
+        # parses the XSpace directly under the pure-python protobuf
+        # implementation, so BOTH failure modes chain to it
+        print("tensorboard_plugin_profile unusable:", reason, file=sys.stderr)
         print("falling back to scripts/xplane_opstats.py", file=sys.stderr)
         env = dict(os.environ, PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python")
         import subprocess
@@ -89,6 +90,12 @@ def main():
                           "xplane_opstats.py"),
              path, "--top", str(args.top), "--steps", str(args.steps)],
             env=env))
+
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception as e:
+        opstats_fallback(e)
+    any_tool_ok = False
     for tool in ("framework_op_stats^", "op_profile^", "overview_page^"):
         try:
             data, _ = raw_to_tool_data.xspace_to_tool_data([path], tool, {})
@@ -98,8 +105,11 @@ def main():
             with open(out_path, "w") as f:
                 f.write(data)
             print("wrote", out_path, file=sys.stderr)
+            any_tool_ok = True
         except Exception as e:
             print(f"{tool}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+    if not any_tool_ok:
+        opstats_fallback("all tool conversions raised at call time")
 
     # framework_op_stats is a JSON table; print top self-time rows
     fos = os.path.join(args.out, "framework_op_stats.json")

@@ -120,7 +120,33 @@ def load_args(path: str) -> dict:
     return obj if isinstance(obj, dict) else vars(obj)
 
 
+def enable_persistent_compile_cache():
+    """Point jax at a persistent compile cache so repeated CLI invocations
+    skip the remote XLA compiles (20-60 s per program shape through the
+    TPU tunnel; a full relevancy sweep recompiling per process is minutes
+    of pure overhead). ``SEMABS_JAX_CACHE`` overrides the location;
+    ``SEMABS_JAX_CACHE=0`` disables."""
+    loc = os.environ.get("SEMABS_JAX_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "semantic_abstraction_tpu", "jax_cache",
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        logging.getLogger(__name__).warning(
+            "could not enable the persistent compile cache", exc_info=True)
+
+
 def setup_logging():
+    enable_persistent_compile_cache()
     try:
         from rich.logging import RichHandler
 

@@ -336,6 +336,14 @@ def cmd_dataset(args):
                     img, labels, [args.prompt], config,
                     key=jax.random.PRNGKey(args.seed + si),
                 )
+                try:
+                    # start the D2H immediately so the ~5 MB f16 map
+                    # transfer rides under the next scene's device compute
+                    # (write_out's np.asarray then just completes it)
+                    maps_dev.copy_to_host_async()
+                    feats_dev.copy_to_host_async()
+                except Exception:
+                    pass  # non-PjRt arrays: np.asarray still syncs
                 results.append((rgb_key, (maps_dev, feats_dev)))
             if pending is not None:
                 job, pending = pending, None

@@ -23,8 +23,12 @@ whole thing is device-resident:
   ``relevancy.gradcam`` with labels vmapped (vs the reference's serial
   per-label autograd loop).
 - Per-scale canvas accumulation (bilinear 7x7 -> tile_size upsample +
-  strided window add, __init__.py:205-233) is a lax.scan of
-  resize-matmuls + scatter-adds into an (L, H*W) canvas.
+  strided window add, __init__.py:205-233) is a scatter-free overlap-add
+  of MXU-upsampled blocks (see ``_accumulate_body``).
+- The whole image runs as ONE jitted dispatch by default (``fuse_scales``:
+  jitter-prep + every scale sweep + the cross-scale combine in a single
+  program; ``_dispatch_fns``) — per-image tunnel exposure is a single
+  round trip, vs the reference's hundreds of per-tile host steps.
 
 Horizontal flipping averages the relevancy of the mirrored tile batch
 (un-mirrored again before accumulation), matching __init__.py:170-204.
@@ -360,6 +364,7 @@ class ClipSaliency:
         num_layers: int = 10,
         label_bucket: int = 0,
         scale_group_tiles: int = 384,
+        fuse_scales: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -372,6 +377,14 @@ class ClipSaliency:
         # cap also bounds the materialized resized-tile tensor of a group
         # (384 tiles x (3, 224, 224) f32 = 231 MB). 0 disables grouping.
         self.scale_group_tiles = scale_group_tiles
+        # fuse_scales merges EVERY scale program (plus prep and combine)
+        # into one jitted dispatch per image — minimum tunnel exposure —
+        # at the cost of one larger compile unit (see _dispatch_fns).
+        # Measured round 5 (v5e, ours@480x640): equal throughput to the
+        # 2-dispatch chain on a clean tunnel (34.5 vs 34.3 maps/s) and one
+        # fewer RTT of exposure on contended ones; a mono compile failure
+        # falls back to the chain at runtime.
+        self.fuse_scales = fuse_scales
         # label_bucket > 0 pads the label axis up to a multiple before the
         # jitted extraction and slices the pad off after. The saliency
         # programs are compiled per (shape, num_labels); a dataset sweep
@@ -389,6 +402,13 @@ class ClipSaliency:
         self._group_jit = {}
         self._prep_jit = {}
         self._combine_jit = {}
+        self._dispatch_jit = {}
+        # memo of prompt-ensembled zeroshot weights keyed by (labels,
+        # prompts): a dataset sweep / bench loop re-extracts the SAME label
+        # set for every image of a scene, and the text stage costs a full
+        # tunnel round trip (~30 ms) plus host BPE per call. Deterministic
+        # pure function of its inputs, so memoization is value-identical.
+        self._zw_memo: Dict[tuple, jax.Array] = {}
 
     # -- text ---------------------------------------------------------------
 
@@ -414,12 +434,21 @@ class ClipSaliency:
     def zeroshot_weights(self, labels: Sequence[str],
                          templates: Sequence[str]) -> jax.Array:
         """(E, L) prompt-ensembled zeroshot weights
-        (reference clip_gradcam.zeroshot_classifier :12-27)."""
+        (reference clip_gradcam.zeroshot_classifier :12-27). Memoized per
+        (labels, templates) — see ``_zw_memo`` in ``__init__``."""
+        memo_key = (tuple(labels), tuple(templates))
+        hit = self._zw_memo.get(memo_key)
+        if hit is not None:
+            return hit
         texts = [t.format(label) for label in labels for t in templates]
         feats = self.text_features(texts).reshape(
             len(labels), len(templates), -1
         )
-        return zeroshot_weights_from_features(feats)
+        zw = zeroshot_weights_from_features(feats)
+        if len(self._zw_memo) >= 16:  # bound device-resident memo entries
+            self._zw_memo.pop(next(iter(self._zw_memo)))
+        self._zw_memo[memo_key] = zw
+        return zw
 
     def get_visual_feature(self, rgb: np.ndarray,
                            tile_attn_mask=None) -> jax.Array:
@@ -552,27 +581,22 @@ class ClipSaliency:
             )[:n_labels]
         return maps, label_feats
 
-    def _scale_fn(self, hw: Tuple[int, int], plan: ScalePlan,
-                  config: SaliencyConfig, num_labels: int, n_images: int):
-        """ONE jitted dispatch per (image, scale): extract -> chunked
-        gradcam (lax.map) -> flip-average -> overlap-add -> count-normalized
-        canvas.
+    def _scale_body(self, hw: Tuple[int, int], plan: ScalePlan,
+                    config: SaliencyConfig, num_labels: int, n_images: int):
+        """Traceable body of one scale's extraction: (visual, images, zw)
+        -> count-normalized (L, H, W) canvas: extract -> chunked gradcam
+        (lax.map) -> flip-average -> overlap-add.
 
-        The earlier structure (a python loop dispatching one jit per tile
+        The earliest structure (a python loop dispatching one jit per tile
         chunk) left the chip ~64% idle through the axon tunnel: ~108
         dispatches x ~7 ms submission latency dominated the 0.4 s of
         device work. Fusing each scale into one computation with
         ``lax.map`` over tile chunks (tiles are extracted INSIDE the map
         body, so at most one chunk of preprocessed tiles is ever
-        materialized) collapses that to ~6 round-trips per image. (A
-        single all-scales jit was tried and exceeded the remote-compile
-        request size limit.)
+        materialized) collapses that to a handful of round-trips per image;
+        ``_dispatch_fns`` composes these bodies into the per-image
+        dispatch chain.
         """
-        sig = (hw, plan.tile_size, plan.stride, plan.nx, plan.ny,
-               config.positive_attn_only, config.horizontal_flipping,
-               num_labels, n_images)
-        if sig in self._convolve_jit:
-            return self._convolve_jit[sig]
         resolution = self.cfg.image_resolution
         mean = jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
         std = jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
@@ -647,13 +671,25 @@ class ClipSaliency:
             canvas = _accumulate_body(rel, plan, hw, n_images)
             return canvas / jnp.asarray(plan.count)[None]
 
-        self._convolve_jit[sig] = jax.jit(fn)
+        return fn
+
+    def _scale_fn(self, hw: Tuple[int, int], plan: ScalePlan,
+                  config: SaliencyConfig, num_labels: int, n_images: int):
+        """Jitted single-scale program (kept for the stage profiler; the
+        hot path goes through ``_dispatch_fns``)."""
+        sig = (hw, plan.tile_size, plan.stride, plan.nx, plan.ny,
+               config.positive_attn_only, config.horizontal_flipping,
+               num_labels, n_images)
+        if sig not in self._convolve_jit:
+            self._convolve_jit[sig] = jax.jit(
+                self._scale_body(hw, plan, config, num_labels, n_images)
+            )
         return self._convolve_jit[sig]
 
-    def _scale_group_fn(self, hw: Tuple[int, int], plans: Tuple[ScalePlan, ...],
-                        config: SaliencyConfig, num_labels: int,
-                        n_images: int):
-        """ONE jitted dispatch for SEVERAL small scales.
+    def _group_body(self, hw: Tuple[int, int], plans: Tuple[ScalePlan, ...],
+                    config: SaliencyConfig, num_labels: int,
+                    n_images: int):
+        """Traceable body sweeping SEVERAL small scales in one program.
 
         The per-scale dispatch (``_scale_fn``) pays one tunnel round trip
         (~25 ms measured) per scale, and the small scales' gradcam batches
@@ -669,11 +705,6 @@ class ClipSaliency:
         rows. Measured round 4: grouping 12+90+210 collapsed 3 dispatches
         to 1 (see KERNELS.md).
         """
-        sig = (hw, tuple((p.tile_size, p.stride, p.nx, p.ny) for p in plans),
-               config.positive_attn_only, config.horizontal_flipping,
-               num_labels, n_images)
-        if sig in self._group_jit:
-            return self._group_jit[sig]
         resolution = self.cfg.image_resolution
         mean = jnp.asarray(CLIP_PIXEL_MEAN)[:, None, None]
         std = jnp.asarray(CLIP_PIXEL_STD)[:, None, None]
@@ -754,39 +785,43 @@ class ClipSaliency:
                 o += n_i
             return tuple(canvases)
 
-        self._group_jit[sig] = jax.jit(fn)
+        return fn
+
+    def _scale_group_fn(self, hw: Tuple[int, int],
+                        plans: Tuple[ScalePlan, ...],
+                        config: SaliencyConfig, num_labels: int,
+                        n_images: int):
+        """Jitted multi-scale group program (kept for tests/profiling; the
+        hot path goes through ``_dispatch_fns``)."""
+        sig = (hw, tuple((p.tile_size, p.stride, p.nx, p.ny) for p in plans),
+               config.positive_attn_only, config.horizontal_flipping,
+               num_labels, n_images)
+        if sig not in self._group_jit:
+            self._group_jit[sig] = jax.jit(
+                self._group_body(hw, plans, config, num_labels, n_images)
+            )
         return self._group_jit[sig]
 
-    def _saliency_convolve(self, img: np.ndarray, zw: jax.Array,
-                           config: SaliencyConfig, key: jax.Array) -> jax.Array:
-        h, w = img.shape[:2]
-        n_images = 1 + config.augmentations
-        plans = tile_plan((h, w), config.crops, n_images)
-        # upload uint8 (4x fewer bytes than f32: the axon tunnel moves
-        # ~20-35 MB/s, so host<->device bytes are precious); /255 on device
-        base_u8 = jnp.asarray(
-            np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.uint8
-        )
-        sig_p = (base_u8.shape, config.augmentations)
-        if sig_p not in self._prep_jit:
-            augs = config.augmentations
+    @staticmethod
+    def _prep_body(augs: int):
+        """Traceable uint8 -> (1+augs, 3, H, W) float image stack: the /255
+        convert + torchvision-parity color jitter (reference
+        CLIP/clip/__init__.py:55-57)."""
 
-            def prep(b_u8, keys):
-                b = b_u8.astype(jnp.float32) / 255.0
-                if augs > 0:
-                    jittered = jax.vmap(color_jitter, in_axes=(0, None))(
-                        keys, b)
-                    return jnp.concatenate([b[None], jittered], axis=0)
-                return b[None]
+        def prep(b_u8, keys):
+            b = b_u8.astype(jnp.float32) / 255.0
+            if augs > 0:
+                jittered = jax.vmap(color_jitter, in_axes=(0, None))(keys, b)
+                return jnp.concatenate([b[None], jittered], axis=0)
+            return b[None]
 
-            self._prep_jit[sig_p] = jax.jit(prep)
-        keys = (jax.random.split(key, config.augmentations)
-                if config.augmentations > 0
-                else jnp.zeros((0, 2), jnp.uint32))
-        images = self._prep_jit[sig_p](base_u8, keys)
-        # group consecutive small scales under one dispatch (see
-        # _scale_group_fn); a scale whose tile count exceeds the cap (the
-        # big scales, e.g. ours@480x640's 1248) keeps its own program
+        return prep
+
+    def _grouping(self, plans: Tuple[ScalePlan, ...], n_images: int):
+        """Partition the live scale plans into dispatch groups: consecutive
+        small scales share one program while their combined (post-jitter)
+        tile count fits ``scale_group_tiles``; a scale over the cap (the
+        big scales, e.g. ours@480x640's 1248) keeps its own program."""
         live = [p for p in plans if p.offsets.shape[0] > 0]
         cap = self.scale_group_tiles
         groups: list = []
@@ -807,8 +842,167 @@ class ClipSaliency:
             cur_tiles += t
         if cur:
             groups.append(cur)
+        return groups
+
+    def _dispatch_fns(self, hw: Tuple[int, int], config: SaliencyConfig,
+                      num_labels: int, n_images: int):
+        """The per-image jitted dispatch chain, with the jitter-prep folded
+        into the FIRST program and the cross-scale combine folded into the
+        LAST.
+
+        Through the axon tunnel every dispatch is a round trip (7-25 ms
+        measured, far worse on contended windows — the round-4 driver
+        capture ran at ~3x the clean-window RTT), so per-image tunnel
+        exposure is dispatch count x RTT. The published configs used to pay
+        4 round trips (prep, small-scale group, big scale, combine);
+        folding prep and combine into the scale programs pays 2.
+        ``fuse_scales=True`` additionally merges every scale into ONE
+        program (1 round trip; bigger compile unit). Value-identical to the
+        unfused chain: jit boundaries only regroup pure functions.
+
+        Returns (fns, n_dispatches):
+        - n_dispatches == 1: fns[0](visual, base_u8, keys, zw) -> f16 maps
+        - else: fns[0](visual, base_u8, keys, zw) -> (images, *canvases);
+          fns[i](visual, images, zw) -> (*canvases) for the middle programs;
+          fns[-1](visual, images, zw, canvases) -> (L, H, W) float16 maps.
+
+        The combine divides by the number of UNIQUE tile sizes over ALL
+        plans (reference __init__.py:148-153, :231-234 — sizes whose crops
+        fit no tiles still inflate the divisor); callers must route
+        duplicate-tile-size configs to the eager path instead (this method
+        asserts distinct sizes).
+        """
+        plans = tile_plan(hw, config.crops, n_images)
+        groups = self._grouping(plans, n_images)
+        flat = [p for g in groups for p in g]
+        if not flat:
+            raise ValueError(
+                f"no crop in the saliency config fits a {hw[0]}x{hw[1]} "
+                f"image (tile sizes {[p.tile_size for p in plans]})"
+            )
+        sizes = [p.tile_size for p in flat]
+        assert len(set(sizes)) == len(sizes), (
+            "duplicate tile sizes must use the eager combine path"
+        )
+        n_unique = len({p.tile_size for p in plans})
+        sig = (hw, tuple((p.tile_size, p.stride, p.nx, p.ny) for p in flat),
+               tuple(len(g) for g in groups), config.positive_attn_only,
+               config.horizontal_flipping, config.augmentations,
+               num_labels, n_images, bool(self.fuse_scales))
+        if sig in self._dispatch_jit:
+            return self._dispatch_jit[sig]
+        prep = self._prep_body(config.augmentations)
+        bodies = []
+        for g in groups:
+            if len(g) == 1:
+                b = self._scale_body(hw, g[0], config, num_labels, n_images)
+                bodies.append(lambda v, im, zw, b=b: (b(v, im, zw),))
+            else:
+                bodies.append(self._group_body(
+                    hw, tuple(g), config, num_labels, n_images))
+
+        def combine(canvases):
+            # float16 output matches the reference's half-precision
+            # canvases (CLIP/clip/__init__.py:146-151) and halves the
+            # device->host readback bytes
+            return (sum(canvases) / n_unique).astype(jnp.float16)
+
+        if self.fuse_scales or len(bodies) == 1:
+
+            def mono(visual, base_u8, keys, zw):
+                images = prep(base_u8, keys)
+                canvases = []
+                for b in bodies:
+                    canvases.extend(b(visual, images, zw))
+                return combine(canvases)
+
+            fns = [jax.jit(mono)]
+        else:
+            first_body = bodies[0]
+
+            def first(visual, base_u8, keys, zw):
+                images = prep(base_u8, keys)
+                return (images,) + tuple(first_body(visual, images, zw))
+
+            fns = [jax.jit(first)]
+            for b in bodies[1:-1]:
+                fns.append(jax.jit(
+                    lambda visual, images, zw, b=b:
+                    tuple(b(visual, images, zw))
+                ))
+            last_body = bodies[-1]
+
+            def last(visual, images, zw, prior):
+                canvases = list(prior) + list(last_body(visual, images, zw))
+                return combine(canvases)
+
+            fns.append(jax.jit(last))
+        self._dispatch_jit[sig] = (fns, len(fns))
+        return self._dispatch_jit[sig]
+
+    def _saliency_convolve(self, img: np.ndarray, zw: jax.Array,
+                           config: SaliencyConfig, key: jax.Array) -> jax.Array:
+        h, w = img.shape[:2]
+        n_images = 1 + config.augmentations
+        plans = tile_plan((h, w), config.crops, n_images)
+        # upload uint8 (4x fewer bytes than f32: the axon tunnel moves
+        # ~20-35 MB/s, so host<->device bytes are precious); /255 on device
+        base_u8 = jnp.asarray(
+            np.ascontiguousarray(img.transpose(2, 0, 1)), jnp.uint8
+        )
+        keys = (jax.random.split(key, config.augmentations)
+                if config.augmentations > 0
+                else jnp.zeros((0, 2), jnp.uint32))
+        live = [p for p in plans if p.offsets.shape[0] > 0]
+        if not live:
+            raise ValueError(
+                f"no crop in the saliency config fits a {h}x{w} image "
+                f"(tile sizes {[p.tile_size for p in plans]})"
+            )
+        sizes = [p.tile_size for p in live]
+        if len(set(sizes)) == len(sizes):
+            # common path (published configs have distinct tile sizes):
+            # the fused dispatch chain — 2 round trips per image (1 with
+            # fuse_scales), prep and combine folded into the scale programs
+            fns, n_disp = self._dispatch_fns(
+                (h, w), config, int(zw.shape[1]), n_images
+            )
+            visual = self.params["visual"]
+            if n_disp == 1:
+                if not self.fuse_scales:
+                    return fns[0](visual, base_u8, keys, zw)
+                try:
+                    return fns[0](visual, base_u8, keys, zw)
+                except Exception:
+                    # a mono program too big for the remote compiler falls
+                    # back to the per-group chain (one warning, sticky)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "fused saliency program failed to compile/run; "
+                        "falling back to the multi-dispatch chain",
+                        exc_info=True,
+                    )
+                    self.fuse_scales = False
+                    return self._saliency_convolve(img, zw, config, key)
+            out = fns[0](visual, base_u8, keys, zw)
+            images, canvases = out[0], list(out[1:])
+            for fn in fns[1:-1]:
+                canvases.extend(fn(visual, images, zw))
+            return fns[-1](visual, images, zw, tuple(canvases))
+        # duplicate-tile-size path (exotic; eager for parity over speed).
+        # The reference keys canvases AND counts by tile_size
+        # (__init__.py:148-153, :231-234): duplicate-size crops share one
+        # canvas+count, and the final mean divides by the number of UNIQUE
+        # tile sizes (len(counts)) — counting even sizes whose crops fit
+        # no tiles (their zero canvases still inflate the divisor).
+        sig_p = (base_u8.shape, config.augmentations)
+        if sig_p not in self._prep_jit:
+            self._prep_jit[sig_p] = jax.jit(
+                self._prep_body(config.augmentations))
+        images = self._prep_jit[sig_p](base_u8, keys)
         plan_canvases = []
-        for grp in groups:
+        for grp in self._grouping(plans, n_images):
             if len(grp) == 1:
                 plan_canvases.append((grp[0], self._scale_fn(
                     (h, w), grp[0], config, int(zw.shape[1]), n_images
@@ -818,42 +1012,16 @@ class ClipSaliency:
                     (h, w), tuple(grp), config, int(zw.shape[1]), n_images
                 )(self.params["visual"], images, zw)
                 plan_canvases.extend(zip(grp, cvs))
-        if not plan_canvases:
-            raise ValueError(
-                f"no crop in the saliency config fits a {h}x{w} image "
-                f"(tile sizes {[p.tile_size for p in plans]})"
-            )
-        # The reference keys canvases AND counts by tile_size
-        # (__init__.py:148-153, :231-234): duplicate-size crops share one
-        # canvas+count, and the final mean divides by the number of UNIQUE
-        # tile sizes (len(counts)) — counting even sizes whose crops fit
-        # no tiles (their zero canvases still inflate the divisor).
         n_unique = len({p.tile_size for p in plans})
         by_size: dict = {}
         for plan, cv in plan_canvases:
             by_size.setdefault(plan.tile_size, []).append((plan, cv))
-        if all(len(v) == 1 for v in by_size.values()):
-            # common path (published configs have distinct sizes): one
-            # combine dispatch; float16 output matches the reference's
-            # half-precision canvases (CLIP/clip/__init__.py:146-151) and
-            # halves the device->host readback. Cache key carries the
-            # divisor: a config whose largest tile exceeds the image
-            # yields fewer canvases than sizes, and a same-shaped call
-            # with a different config must not reuse the wrong normalizer.
-            canvases = [cv for _, cv in plan_canvases]
-            sig_c = (len(canvases), n_unique, canvases[0].shape)
-            if sig_c not in self._combine_jit:
-                self._combine_jit[sig_c] = jax.jit(
-                    lambda cs: (sum(cs) / n_unique).astype(jnp.float16)
-                )
-            return self._combine_jit[sig_c](canvases)
-        # duplicate-tile-size path (exotic; eager for parity over speed):
         # un-normalize each canvas by its own count map, merge sums, and
         # renormalize by the SHARED count (1e-5 seeded once, not per crop)
-        groups = []
+        merged = []
         for items in by_size.values():
             s = sum(cv * jnp.asarray(p.count)[None] for p, cv in items)
             shared = (sum(p.count for p, _ in items)
                       - (len(items) - 1) * np.float32(1e-5))
-            groups.append(s / jnp.asarray(shared)[None])
-        return (sum(groups) / n_unique).astype(jnp.float16)
+            merged.append(s / jnp.asarray(shared)[None])
+        return (sum(merged) / n_unique).astype(jnp.float16)

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import grid_sample_3d, grid_sample_3d_cl
+from ..ops.sampling import (
+    grid_sample_3d,
+    grid_sample_3d_blocked_cl,
+    grid_sample_3d_cl,
+)
 from ..ops.voxel import VoxelGrid
 
 
@@ -54,6 +58,7 @@ def implicit_decoder(
     query_points: jax.Array,
     concat_xyz_pts: bool = False,
     channels_last: bool = False,
+    blocked: bool = False,
 ) -> jax.Array:
     """(B, C, gx, gy, gz) volume + (B, N, 3) world points -> (B, N, output_dim).
 
@@ -63,7 +68,10 @@ def implicit_decoder(
 
     With ``channels_last`` the volume is (B, gx, gy, gz, C) and sampling
     skips the NCDHW->channel-minor relayout (the train-step hot path:
-    the UNet emits channel-last directly).
+    the UNet emits channel-last directly). With ``blocked`` the volume is
+    the space-to-depth blocked form (B, gx/2, gy/2, gz/2, 8C) straight off
+    the blocked UNet and the parity-pack sampler consumes it with no
+    depth-to-space anywhere (the 128-lane end-to-end path).
     """
     idx_f = grid.points_to_idxs(query_points, cast_to_int=False)
     shape = jnp.asarray(grid.grid_shape, dtype=idx_f.dtype)
@@ -72,7 +80,19 @@ def implicit_decoder(
     # dead-code-eliminate the sampler VJP's d(coords) branch (a packed
     # corner gather + lerp derivatives per point)
     coords = jax.lax.stop_gradient(coords)
-    if channels_last:
+    if blocked:
+        # a tuple of blocked volumes (VOOL's two streams) samples each and
+        # concatenates the per-point features — value-identical to
+        # sampling a channel-concat volume (trilinear is per-channel),
+        # which the blocked lane order cannot express directly
+        if isinstance(features_vol, (tuple, list)):
+            sampled = jnp.concatenate(
+                [grid_sample_3d_blocked_cl(v, coords) for v in features_vol],
+                axis=-1,
+            )
+        else:
+            sampled = grid_sample_3d_blocked_cl(features_vol, coords)
+    elif channels_last:
         sampled = grid_sample_3d_cl(features_vol, coords)  # (B, N, C)
     else:
         sampled = grid_sample_3d(features_vol, coords)  # (B, N, C)

@@ -37,7 +37,30 @@ from .decoder import (
     pointing_attention,
     pointing_attention_paired,
 )
-from .unet3d import init_residual_unet3d, residual_unet3d
+from .unet3d import (
+    init_residual_unet3d,
+    residual_unet3d,
+    unet_blocked_io_ok,
+)
+
+
+def blocked_fast_path(completion_params: dict, cfg) -> bool:
+    """True iff the 128-lane end-to-end basis is engaged for this
+    completion model: the voxel scatter emits the space-to-depth blocked
+    volume directly, the UNet runs blocked_io (no s2d entry / d2s exit),
+    and the implicit decoder samples the blocked basis with the
+    parity-pack sampler — no 16-lane volume ever materializes
+    (KERNELS.md: narrow trailing axes pay 8x their bytes in (8,128)
+    tiles; this basis removed ~130 ms/step of relayout copies from the
+    round-4 OVSSC profile). Falls back automatically for tsdf-channel
+    inputs (the concat would interleave blocked lanes), non-16-channel
+    UNet inputs, and shapes whose level 0 cannot block."""
+    return (
+        getattr(cfg, "blocked_basis", True)
+        and "tsdf" not in cfg.network_inputs
+        and 8 * cfg.unet_in_channels == 128
+        and unet_blocked_io_ok(completion_params["unet"], cfg.voxel_shape)
+    )
 
 # Fixed relation vocabulary (reference net.py:490-503 ParameterDict keys).
 RELATIONS = (
@@ -82,6 +105,12 @@ class SemAbs3DConfig:
     reduce_method: str = "max"
     output_dim: int = 1
     decoder_concat_xyz_pts: bool = True
+
+    # The 128-lane end-to-end basis (see :func:`blocked_fast_path`):
+    # scatter -> UNet -> sampler all stay in the space-to-depth blocked
+    # layout. Value-identical to the plain path (tested); this switch
+    # exists for A/B measurement and as an escape hatch.
+    blocked_basis: bool = True
 
     # Honor ``reduce_method`` in the voxel scatter instead of reproducing
     # the reference quirk. QUIRK (net.py:186-199): VirtualGrid.scatter_points
@@ -163,6 +192,7 @@ def semabs3d_feature_vol(
     tsdf_vol: Optional[jax.Array] = None,
     valid_mask: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    layout: str = "cl",
 ) -> jax.Array:
     """Point features -> UNet feature volume (B*P, C, gx, gy, gz).
 
@@ -172,12 +202,18 @@ def semabs3d_feature_vol(
     max/mean scatter, optional TSDF channel concat, 3D ResUNet.
     ``valid_mask`` (B, N) drops padded points from the scatter.
 
-    LAYOUT: the returned volume is CHANNEL-LAST, (B*P, gx, gy, gz, C) —
-    the scatter emits that form for free and the implicit decoder's
-    neighborhood pack wants it; NCDHW round-trips cost two ~270 MB
-    relayouts per step at the full-size config.
+    LAYOUT: with the default ``layout="cl"`` the returned volume is
+    CHANNEL-LAST, (B*P, gx, gy, gz, C) — the scatter emits that form for
+    free and the implicit decoder's neighborhood pack wants it; NCDHW
+    round-trips cost two ~270 MB relayouts per step at the full-size
+    config. ``layout="blocked_cl"`` (precondition:
+    :func:`blocked_fast_path`) keeps the whole path in the space-to-depth
+    basis — scatter emits (B*P, gx/2, gy/2, gz/2, 8C), the UNet runs
+    blocked_io, and the return is the blocked OUTPUT volume for the
+    parity-pack sampler.
     """
     b, p, n, f = input_feature_pts.shape
+    blocked = layout == "blocked_cl"
     xyz = jnp.broadcast_to(input_xyz_pts[:, None], (b, p, n, 3)).reshape(b * p, n, 3)
     feats = input_feature_pts.reshape(b * p, n, f)
     if cfg.use_pts_feat_extractor:
@@ -186,10 +222,19 @@ def semabs3d_feature_vol(
         )
     if valid_mask is not None:
         valid_mask = jnp.broadcast_to(valid_mask[:, None], (b, p, n)).reshape(b * p, n)
-    vol = cfg.grid.scatter_points(
-        xyz, feats, reduce_method=cfg.effective_reduce_method,
-        valid_mask=valid_mask, channels_last=True,
-    )
+    if blocked:
+        assert "tsdf" not in cfg.network_inputs, (
+            "blocked layout cannot concat a tsdf channel (lane interleave)"
+        )
+        vol = cfg.grid.scatter_points(
+            xyz, feats, reduce_method=cfg.effective_reduce_method,
+            valid_mask=valid_mask, layout="blocked_cl",
+        )
+    else:
+        vol = cfg.grid.scatter_points(
+            xyz, feats, reduce_method=cfg.effective_reduce_method,
+            valid_mask=valid_mask, channels_last=True,
+        )
     # cast to the compute dtype HERE rather than at the UNet entry: the
     # UNet's remat closure captures this tensor and re-derives the first
     # conv's input from it in the backward — saving it f32 cost an extra
@@ -202,22 +247,22 @@ def semabs3d_feature_vol(
         if tsdf.ndim == 4:
             tsdf = tsdf[..., None]
         vol = jnp.concatenate([tsdf.astype(vol.dtype), vol], axis=-1)
+    unet_kw = dict(
+        compute_dtype=compute_dtype, remat_policy=cfg.unet_remat_policy,
+        channels_last=not blocked, blocked_io=blocked,
+    )
     chunk = cfg.unet_batch_chunk
     if chunk and vol.shape[0] > chunk and vol.shape[0] % chunk == 0:
         vols = vol.reshape(vol.shape[0] // chunk, chunk, *vol.shape[1:])
         out = jax.lax.map(
             lambda v: residual_unet3d(
-                params["unet"], v, cfg.unet_num_groups,
-                compute_dtype=compute_dtype,
-                remat_policy=cfg.unet_remat_policy,
-                channels_last=True,
+                params["unet"], v, cfg.unet_num_groups, **unet_kw
             ),
             vols,
         )
         return out.reshape(vol.shape[0], *out.shape[2:])
     return residual_unet3d(
-        params["unet"], vol, cfg.unet_num_groups, compute_dtype=compute_dtype,
-        remat_policy=cfg.unet_remat_policy, channels_last=True,
+        params["unet"], vol, cfg.unet_num_groups, **unet_kw
     )
 
 
@@ -239,9 +284,10 @@ def semabs3d_forward(
     """
     b, p = input_feature_pts.shape[:2]
     q, m = output_xyz_pts.shape[1:3]
+    blocked = blocked_fast_path(params, cfg)
     vols = semabs3d_feature_vol(
         params, cfg, input_xyz_pts, input_feature_pts, tsdf_vol, valid_mask,
-        compute_dtype,
+        compute_dtype, layout="blocked_cl" if blocked else "cl",
     )
     if p < q:
         vols = jnp.broadcast_to(
@@ -254,6 +300,7 @@ def semabs3d_forward(
         output_xyz_pts.reshape(b * q, m, 3),
         cfg.decoder_concat_xyz_pts,
         channels_last=True,
+        blocked=blocked,
     ).reshape(b, q, m, cfg.output_dim)
     if cfg.output_dim == 1:
         out = out[..., 0]
@@ -389,6 +436,9 @@ def semabs_vool_forward(
     """Saliency streams (B, D, N, 1) + relation ids (B, D) -> logits (B, D, M)."""
     b, nd, m = output_xyz_pts.shape[:3]
 
+    blocked = blocked_fast_path(params["completion"], cfg.completion)
+    vol_layout = "blocked_cl" if blocked else "cl"
+
     def streams_to_sampled(tgt, ref, out_pts):
         """(B', D', N, 1) streams + (B'*D', M, 3) -> sampled (B'*D', M, pd)."""
         if cfg.stack_streams and tgt.shape[0] == 1:
@@ -399,22 +449,30 @@ def semabs_vool_forward(
             both = semabs3d_feature_vol(
                 params["completion"], cfg.completion, input_xyz_pts,
                 jnp.concatenate([tgt, ref], axis=1),
-                tsdf_vol, valid_mask, compute_dtype,
+                tsdf_vol, valid_mask, compute_dtype, layout=vol_layout,
             )
             target_vol, reference_vol = both[:d_], both[d_:]
         else:
             target_vol = semabs3d_feature_vol(
                 params["completion"], cfg.completion, input_xyz_pts, tgt,
-                tsdf_vol, valid_mask, compute_dtype,
+                tsdf_vol, valid_mask, compute_dtype, layout=vol_layout,
             )
             reference_vol = semabs3d_feature_vol(
                 params["completion"], cfg.completion, input_xyz_pts, ref,
-                tsdf_vol, valid_mask, compute_dtype,
+                tsdf_vol, valid_mask, compute_dtype, layout=vol_layout,
             )
-        feature_vol = jnp.concatenate([target_vol, reference_vol], axis=-1)
+        if blocked:
+            # a lane concat of two blocked volumes would interleave their
+            # slot-major orders; sampling each stream's blocked volume and
+            # concatenating the SAMPLED (M, C) features is value-identical
+            # (trilinear sampling is per-channel)
+            feature_vol = (target_vol, reference_vol)
+        else:
+            feature_vol = jnp.concatenate([target_vol, reference_vol], axis=-1)
         return implicit_decoder(
             params["spatial_sampler"], feature_vol, cfg.completion.grid,
             out_pts, cfg.decoder_concat_xyz_pts, channels_last=True,
+            blocked=blocked,
         )
 
     dchunk = cfg.desc_chunk
@@ -581,9 +639,11 @@ def clip_spatial_vool_forward(
     compute_dtype=jnp.float32,
 ) -> jax.Array:
     b, nd, m = output_xyz_pts.shape[:3]
+    blocked = blocked_fast_path(params["completion"], cfg.completion)
     feature_vol = semabs3d_feature_vol(
         params["completion"], cfg.completion, input_xyz_pts,
         input_description_saliency_pts, tsdf_vol, valid_mask, compute_dtype,
+        layout="blocked_cl" if blocked else "cl",
     )
     out = implicit_decoder(
         params["spatial_sampler"],
@@ -592,6 +652,7 @@ def clip_spatial_vool_forward(
         output_xyz_pts.reshape(b * nd, m, 3),
         cfg.decoder_concat_xyz_pts,
         channels_last=True,
+        blocked=blocked,
     )
     return out.reshape(b, nd, m)
 

@@ -630,11 +630,26 @@ def _level_is_blocked(i: int, blocked_levels: int, channels: int,
     )
 
 
+def unet_blocked_io_ok(params: dict, voxel_shape,
+                       blocked_levels: int = 2) -> bool:
+    """True iff this UNet's level 0 executes in the blocked basis at
+    ``voxel_shape`` — the precondition for ``blocked_io`` (the caller then
+    feeds/consumes (B, D/2, H/2, W/2, 8C) channel-last volumes)."""
+    c0 = params["encoders"][0]["conv1"]["w"].shape[0]
+    c_in = params["encoders"][0]["conv1"]["w"].shape[1]
+    return (
+        _level_is_blocked(0, blocked_levels, c0, voxel_shape)
+        and _level_is_blocked(0, blocked_levels, c_in, voxel_shape)
+        and len(params["decoders"]) > 0
+    )
+
+
 def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
                     compute_dtype=None, remat: bool = True,
                     blocked_levels: int = 2,
                     remat_policy: str = "dots",
-                    channels_last: bool = False) -> jax.Array:
+                    channels_last: bool = False,
+                    blocked_io: bool = False) -> jax.Array:
     """Forward pass. x: (B, C_in, D, H, W) -> (B, C_out, D, H, W); with
     ``channels_last``, (B, D, H, W, C_in) -> (B, D, H, W, C_out) — the
     entry transpose fuses with the level-0 space-to-depth relayout, and
@@ -657,10 +672,29 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
     exit odd (pooled directly by blocked_max_pool_odd); decoder blocks
     enter odd (blocked_conv_transpose_odd + odd skip) and exit even
     (plain d2s) — basis entry/exit never materializes a padded volume.
+
+    ``blocked_io`` (the 128-lane end-to-end path): x is ALREADY the level-0
+    blocked basis, channel-last — (B, D/2, H/2, W/2, 8*C_in), slot-major
+    lanes (== ops.sampling.space_to_depth_cl of the dense volume; the
+    voxel scatter emits this form directly) — and the output is returned
+    the same way, (B, D/2, H/2, W/2, 8*C_out), for the blocked sampler.
+    Level 0's space-to-depth entry and the final depth-to-space exit
+    disappear (each was a full-volume relayout whose NARROW 16-lane side
+    pays 8x its bytes in (8,128) tiles); the final 1x1x1 conv runs in the
+    blocked basis as one kron(I_8, W) lane matmul. Requires level 0 (and
+    its decoder) blocked — see :func:`unet_blocked_io_ok`.
     """
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    if channels_last:
+    if blocked_io:
+        assert unet_blocked_io_ok(params, tuple(2 * s for s in x.shape[1:4]),
+                                  blocked_levels), (
+            "blocked_io requires a blocked level 0 (even dims >= 8, "
+            "channels <= 32, blocked_levels >= 1)"
+        )
+        assert x.shape[-1] == 8 * params["encoders"][0]["conv1"]["w"].shape[1]
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))  # NCDHW-blocked, 8C_in lanes
+    elif channels_last:
         x = jnp.transpose(x, (0, 4, 1, 2, 3))
 
     if remat and remat_policy != "save_all":
@@ -707,8 +741,9 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
             # plain (EVEN) s2d entry — the ODD basis is only ever reached
             # THROUGH a conv (no materialized 130^3 pad): the block's convs
             # alternate even -> odd -> even -> odd, its output (and the
-            # skip) are ODD, and the pool reads the odd basis directly
-            xb = space_to_depth(x)
+            # skip) are ODD, and the pool reads the odd basis directly.
+            # With blocked_io, level 0's input arrives already blocked.
+            xb = x if (blocked_io and i == 0) else space_to_depth(x)
             xb = block_b(enc, xb, num_groups, "even")  # -> ODD basis
             skips.insert(0, (True, xb))
             x = blocked_max_pool_odd(xb)  # pooled, unblocked next input
@@ -725,11 +760,24 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
         x = depth_to_space_odd(xb)
     skips = skips[1:]
 
-    for dec, (skip_blocked, skip) in zip(params["decoders"], skips):
+    n_dec = len(params["decoders"])
+    for di, (dec, (skip_blocked, skip)) in enumerate(
+        zip(params["decoders"], skips)
+    ):
         if skip_blocked:
             xb = blocked_conv_transpose_odd(x, dec["up_w"], dec["up_b"])
             xb = xb + skip  # both ODD basis (pads zero on both sides)
             xb = block_b(dec, xb, num_groups, "odd")  # -> EVEN basis
+            if blocked_io and di == n_dec - 1:
+                # blocked exit: the 1x1x1 final conv applies per voxel, so
+                # in the blocked basis it is the SAME (O, C) matmul on
+                # every slot's lane group — one kron(I_8, W^T) lane matmul
+                # whose einsum emits the channel-last blocked output
+                # directly (no d2s, no separate transpose pass)
+                fw = params["final_w"].astype(xb.dtype)[:, :, 0, 0, 0]
+                k8 = jnp.kron(jnp.eye(8, dtype=xb.dtype), fw.T)  # (8C, 8O)
+                out = jnp.einsum("bkdhw,kl->bdhwl", xb, k8)
+                return out + jnp.tile(params["final_b"].astype(xb.dtype), 8)
             x = depth_to_space(xb)  # plain d2s exit
         else:
             x = conv_transpose3d(x, dec["up_w"], dec["up_b"])

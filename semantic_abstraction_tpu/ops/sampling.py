@@ -242,6 +242,218 @@ def _grid_sample_cl_bwd(res, g):
 grid_sample_3d_cl.defvjp(_grid_sample_cl_fwd, _grid_sample_cl_bwd)
 
 
+# ---------------------------------------------------------------------------
+# BLOCKED-basis trilinear sampling (the 128-lane end-to-end train path).
+#
+# The UNet's hot levels execute in a 2x2x2 space-to-depth basis
+# (models/unet3d.py): volumes live as (D/2, H/2, W/2, 8C) with lane order
+# slot-major ((sz*2+sy)*2+sx)*C + c. Sampling FROM that basis directly —
+# instead of depth-to-space'ing back to (D, H, W, C) and re-packing 2x2x2
+# neighborhoods with the 16->32->64->128 concat ladder — eliminates the two
+# relayout passes that dominated the round-4 train-step profile (~130 ms of
+# the 152 ms "data formatting" category; KERNELS.md).
+#
+# Key identity: for a query whose base corner has parity p = (z0&1, y0&1,
+# x0&1), the 2x2x2 neighborhood is a fixed LANE-MIXING of the base block
+# and its +1 neighbors: corner d sits in block b + (p+d)//2 at slot
+# (p+d)%2, per axis. Eight parity-specific packed volumes are built with
+# 0/1 lane-selector MATMULS over shifted block slices — (N, 8C) @ (8C, 8C)
+# runs on the MXU at full rate, where the old concat ladder paid narrow-
+# lane relayouts — and one wide gather per query reads its parity pack.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _blocked_pack_selectors(c: int):
+    """Static (parity, block-offset) -> (8C, 8C) 0/1 lane selectors.
+
+    For parity p and offset combo o (one of up to 8 shifted block slices),
+    Sel[l_in((s), ch), l_out((d), ch)] = 1 where per axis: p=0 -> o=0 with
+    (d, s) in {(0,0), (1,1)}; p=1 -> o=0 gives (0,1), o=1 gives (1,0).
+    Returns a list of (parity_code, (oz, oy, ox), matrix | None); None
+    marks the identity selector (parity 0, offset 0)."""
+    import itertools
+
+    k = 8 * c
+    out = []
+    for pz, py, px in itertools.product((0, 1), repeat=3):
+        pc = (pz * 2 + py) * 2 + px
+        ax = []
+        for p in (pz, py, px):
+            if p == 0:
+                ax.append({0: [(0, 0), (1, 1)]})
+            else:
+                ax.append({0: [(0, 1)], 1: [(1, 0)]})
+        for oz in ax[0]:
+            for oy in ax[1]:
+                for ox in ax[2]:
+                    if pc == 0:
+                        out.append((0, (0, 0, 0), None))
+                        continue
+                    m = np.zeros((k, k), np.float32)
+                    for dz, sz in ax[0][oz]:
+                        for dy, sy in ax[1][oy]:
+                            for dx, sx in ax[2][ox]:
+                                lo = ((dz * 2 + dy) * 2 + dx) * c
+                                li = ((sz * 2 + sy) * 2 + sx) * c
+                                m[li : li + c, lo : lo + c] = np.eye(c)
+                    out.append((pc, (oz, oy, ox), m))
+    return tuple(out)
+
+
+def _parity_pack(vol_b: jax.Array) -> jax.Array:
+    """(D2, H2, W2, 8C) blocked volume -> (8 * D2*H2*W2, 8C) parity-stacked
+    neighborhood packs: rows [pc * D2*H2*W2 + lin(bz, by, bx)] hold the
+    2x2x2 neighborhood of base voxel (2bz+pz, 2by+py, 2bx+px) in corner-
+    major (dz, dy, dx) lane order — the same order :func:`_row_pack` emits,
+    so the gather+lerp downstream is shared."""
+    d2, h2, w2, k = vol_b.shape
+    c = k // 8
+    vp = jnp.pad(vol_b, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    packs = [None] * 8
+    for pc, (oz, oy, ox), m in _blocked_pack_selectors(c):
+        sl = jax.lax.slice(
+            vp, (oz, oy, ox, 0), (oz + d2, oy + h2, ox + w2, k)
+        )
+        # precision=HIGHEST: the selector is a 0/1 lane PERMUTATION, so the
+        # matmul must be value-exact. TPU's default f32 matmul precision
+        # truncates operands to bf16 on the MXU (caught on-chip: ~1e-3 rel
+        # error vs the dense sampler); HIGHEST restores f32-exactness and
+        # is a no-op for bf16 operands (the train path).
+        contrib = sl if m is None else jnp.einsum(
+            "dhwk,kl->dhwl", sl, jnp.asarray(m, vol_b.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        packs[pc] = contrib if packs[pc] is None else packs[pc] + contrib
+    return jnp.stack(packs).reshape(8 * d2 * h2 * w2, k)
+
+
+def _blocked_prep(dhw2, coords):
+    """Index/fraction math for the blocked sampler: full-resolution base
+    corner + fractions from :func:`_grid_sample_prep`, then (parity, block)
+    row ids into the parity-stacked pack."""
+    d2, h2, w2 = dhw2
+    x0, y0, z0, fx, fy, fz = _grid_sample_prep((2 * d2, 2 * h2, 2 * w2), coords)
+    pc = ((z0 & 1) * 2 + (y0 & 1)) * 2 + (x0 & 1)
+    lin = ((pc * d2 + (z0 >> 1)) * h2 + (y0 >> 1)) * w2 + (x0 >> 1)
+    return lin, fx, fy, fz
+
+
+@jax.custom_vjp
+def grid_sample_3d_blocked_cl(vol_b: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample a BLOCKED channel-last (B, D/2, H/2, W/2, 8C) volume at
+    (B, N, 3) normalized coords in [-1, 1]; returns (B, N, C).
+
+    Value-identical to ``grid_sample_3d_cl(depth_to_space(vol_b), coords)``
+    (torch grid_sample border/align_corners=True semantics, coords[..., 0]
+    indexing W) — tested — but never materializes the unblocked volume.
+    Lane order of the blocked channel axis is slot-major
+    ((sz*2+sy)*2+sx)*C + c, matching models/unet3d._space_to_depth."""
+    b, d2, h2, w2, k = vol_b.shape
+    c = k // 8
+    lin, fx, fy, fz = _blocked_prep((d2, h2, w2), coords)
+    w8 = _lerp_weights(fx, fy, fz)  # (B, N, 8)
+
+    def row(args):
+        vol_r, lin_r, w8_r = args
+        pack = _parity_pack(vol_r)
+        g8 = jnp.take(pack, lin_r, axis=0).reshape(-1, 8, c)
+        return (g8 * w8_r[:, :, None].astype(g8.dtype)).sum(axis=1)
+
+    return jax.lax.map(row, (vol_b, lin, w8))
+
+
+def _grid_sample_blocked_fwd(vol_b, coords):
+    return grid_sample_3d_blocked_cl(vol_b, coords), (vol_b, coords)
+
+
+def _grid_sample_blocked_bwd(res, g):
+    """d(vol): one 8C-wide base-row scatter per query into the parity-
+    stacked staging, then the ADJOINT of the pack construction — the
+    transposed lane-selector matmuls accumulated onto shifted slices of
+    the padded blocked volume. All traffic stays 8C lanes wide; no narrow
+    scatters, no depth-to-space. d(coords): the same packed gather as the
+    forward feeds the analytic lerp derivatives (identical math to
+    :func:`_grid_sample_cl_bwd`). Accumulation dtype follows the cotangent
+    (bf16 train regime halves the staging traffic; f32 elsewhere)."""
+    vol_b, coords = res
+    b, d2, h2, w2, k = vol_b.shape
+    c = k // 8
+    n = coords.shape[1]
+    acc = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
+    lin, fx, fy, fz = _blocked_prep((d2, h2, w2), coords)
+    gf = g.astype(jnp.float32)
+    w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
+    data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, k).astype(acc)
+    fxe = fx[..., None].astype(jnp.float32)
+    fye = fy[..., None].astype(jnp.float32)
+    fze = fz[..., None].astype(jnp.float32)
+    sels = _blocked_pack_selectors(c)
+
+    def row(args):
+        vol_r, data_r, lin_r, gf_r, fx_r, fy_r, fz_r = args
+        staging = jnp.zeros((8 * d2 * h2 * w2, k), acc)
+        staging = staging.at[lin_r].add(data_r)
+        staging = staging.reshape(8, d2, h2, w2, k)
+        dvp = jnp.zeros((d2 + 1, h2 + 1, w2 + 1, k), acc)
+        for pc, (oz, oy, ox), m in sels:
+            st = staging[pc]
+            contrib = st if m is None else jnp.einsum(
+                "dhwl,kl->dhwk", st, jnp.asarray(m, acc),
+                precision=jax.lax.Precision.HIGHEST,  # exact permutation
+            )
+            dvp = dvp.at[oz : oz + d2, oy : oy + h2, ox : ox + w2].add(contrib)
+        dvol_r = dvp[:d2, :h2, :w2]
+
+        # --- d(coords): packed gather + analytic lerp derivatives
+        pack = _parity_pack(vol_r).astype(jnp.float32)
+        g8 = jnp.take(pack, lin_r, axis=0).reshape(-1, 2, 2, 2, c)
+        c000, c001 = g8[:, 0, 0, 0], g8[:, 0, 0, 1]
+        c010, c011 = g8[:, 0, 1, 0], g8[:, 0, 1, 1]
+        c100, c101 = g8[:, 1, 0, 0], g8[:, 1, 0, 1]
+        c110, c111 = g8[:, 1, 1, 0], g8[:, 1, 1, 1]
+        dfx = ((c001 - c000) * (1 - fy_r) + (c011 - c010) * fy_r) * (1 - fz_r) + (
+            (c101 - c100) * (1 - fy_r) + (c111 - c110) * fy_r
+        ) * fz_r
+        dfy = ((c010 - c000) * (1 - fx_r) + (c011 - c001) * fx_r) * (1 - fz_r) + (
+            (c110 - c100) * (1 - fx_r) + (c111 - c101) * fx_r
+        ) * fz_r
+        dfz = ((c100 - c000) * (1 - fx_r) + (c101 - c001) * fx_r) * (1 - fy_r) + (
+            (c110 - c010) * (1 - fx_r) + (c111 - c011) * fx_r
+        ) * fy_r
+        gx = (gf_r * dfx).sum(-1)
+        gy = (gf_r * dfy).sum(-1)
+        gz = (gf_r * dfz).sum(-1)
+        return dvol_r, jnp.stack([gx, gy, gz], axis=-1)
+
+    dvol, dxyz = jax.lax.map(row, (vol_b, data, lin, gf, fxe, fye, fze))
+    dvol = dvol.astype(vol_b.dtype)
+    d, h, w = 2 * d2, 2 * h2, 2 * w2
+    sizes = jnp.asarray([w, h, d], dtype=jnp.float32)
+    idx_unclipped = (coords.astype(jnp.float32) + 1.0) * 0.5 * (sizes - 1)
+    scale = 0.5 * (sizes - 1)
+    interior = (idx_unclipped > 0) & (idx_unclipped < sizes - 1)
+    dcoords = dxyz * scale * interior
+    return dvol, dcoords.astype(coords.dtype)
+
+
+grid_sample_3d_blocked_cl.defvjp(_grid_sample_blocked_fwd, _grid_sample_blocked_bwd)
+
+
+def space_to_depth_cl(vol_cl: jax.Array) -> jax.Array:
+    """(D, H, W, C) or (B, D, H, W, C) channel-last -> blocked channel-last
+    (..., D/2, H/2, W/2, 8C), slot-major lane order (test/adapter helper —
+    the hot path gets blocked volumes directly from the scatter/UNet)."""
+    batched = vol_cl.ndim == 5
+    if not batched:
+        vol_cl = vol_cl[None]
+    b, d, h, w, c = vol_cl.shape
+    x = vol_cl.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    out = x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+    return out if batched else out[0]
+
+
 def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     """Sample (B, C, D, H, W) volume at (B, N, 3) normalized coords in [-1, 1].
 

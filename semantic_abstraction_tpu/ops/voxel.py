@@ -100,6 +100,7 @@ class VoxelGrid:
         reduce_method: str = "max",
         valid_mask: jax.Array | None = None,
         channels_last: bool = False,
+        layout: str = "dense",
     ) -> jax.Array:
         """Scatter (B, N, C) point features into a (B, C, gx, gy, gz) volume
         (or (B, gx, gy, gz, C) with ``channels_last`` — that form is FREE:
@@ -109,6 +110,14 @@ class VoxelGrid:
         are zero (torch_scatter convention). ``valid_mask`` (B, N) optionally
         drops points from the reduction entirely (used for padded inputs; the
         reference instead pre-filters on host).
+
+        ``layout="blocked_cl"`` scatters DIRECTLY into the 2x2x2
+        space-to-depth basis the UNet's hot levels execute in: a
+        (B, gx/2, gy/2, gz/2, 8C) channel-last volume with slot-major lane
+        order ((sz*2+sy)*2+sx)*C + c (== unet3d._space_to_depth of the
+        dense volume; tested). Requires 8*C == 128 (the paper config's
+        C=16) and even grid dims — the wide scatter row IS the blocked
+        row, so the UNet's level-0 space-to-depth relayout disappears.
         """
         if xyz_pts.ndim == 2:
             xyz_pts = xyz_pts[None]
@@ -116,6 +125,12 @@ class VoxelGrid:
         batch, num_pts, channels = feature_pts.shape
         nv = self.num_voxels
         idxs = self.points_to_idxs(xyz_pts)
+        if layout == "blocked_cl":
+            return self._scatter_blocked_cl(
+                idxs, feature_pts, reduce_method, valid_mask
+            )
+        if layout != "dense":
+            raise ValueError(f"unknown layout {layout!r}")
         flat = self.flatten_idxs(idxs)
         batch_offset = jnp.arange(batch, dtype=flat.dtype)[:, None] * nv
         seg_ids = (flat + batch_offset).reshape(-1)
@@ -203,3 +218,65 @@ class VoxelGrid:
         if channels_last:
             return vol
         return jnp.transpose(vol, (0, 4, 1, 2, 3))
+
+    def _scatter_blocked_cl(self, idxs, feature_pts, reduce_method,
+                            valid_mask):
+        """Segment-reduce straight into the space-to-depth basis: the
+        128-wide scatter row = one 2x2x2 block (8 slots x C channels),
+        point (ix, iy, iz) lands in row lin(idx >> 1) at column group
+        ((sx*2+sy)*2+sz from idx & 1) * C. Same wide-row scatter cost as
+        the consecutive-bin packing (``pack`` path above); the output IS
+        the UNet's blocked level-0 input."""
+        batch, num_pts, channels = feature_pts.shape
+        gx, gy, gz = self.grid_shape
+        if 8 * channels != 128:
+            raise ValueError(
+                f"blocked_cl layout needs 8*C == 128 lanes, got C={channels}"
+            )
+        if any(s % 2 for s in self.grid_shape):
+            raise ValueError(
+                f"blocked_cl layout needs even grid dims, got {self.grid_shape}"
+            )
+        gx2, gy2, gz2 = gx // 2, gy // 2, gz // 2
+        nb = gx2 * gy2 * gz2
+        blk = idxs >> 1
+        slot = idxs & 1
+        rows = (blk[..., 0] * gy2 + blk[..., 1]) * gz2 + blk[..., 2]
+        rows = rows + jnp.arange(batch, dtype=rows.dtype)[:, None] * nb
+        # slot-major lane order ((sx*2+sy)*2+sz over the (gx, gy, gz) axes)
+        # == unet3d._space_to_depth's ((oz*2+oy)*2+ox) over its (d, h, w)
+        group = ((slot[..., 0] * 2 + slot[..., 1]) * 2 + slot[..., 2]).astype(
+            jnp.int32
+        )
+        rows = rows.reshape(-1)
+        group = group.reshape(-1)
+        if valid_mask is not None:
+            rows = jnp.where(valid_mask.reshape(-1), rows, batch * nb)
+        num_rows = batch * nb + (1 if valid_mask is not None else 0)
+        feats = feature_pts.reshape(batch * num_pts, channels)
+        onehot = group[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
+        if reduce_method == "max":
+            fill = jnp.asarray(-jnp.inf, feats.dtype)
+            wide = jnp.where(onehot[:, :, None], feats[:, None, :], fill)
+            wide = wide.reshape(-1, 128)
+            out_wide = jax.ops.segment_max(wide, rows, num_segments=num_rows)
+            out_wide = jnp.where(jnp.isneginf(out_wide), 0.0, out_wide).astype(
+                feats.dtype
+            )
+        elif reduce_method == "mean":
+            wide = jnp.where(
+                onehot[:, :, None], feats[:, None, :], jnp.asarray(0.0, feats.dtype)
+            ).reshape(-1, 128)
+            sums = jax.ops.segment_sum(wide, rows, num_segments=num_rows)
+            ones = (
+                jnp.broadcast_to(
+                    onehot[:, :, None], (onehot.shape[0], 8, channels)
+                )
+                .astype(feats.dtype)
+                .reshape(-1, 128)
+            )
+            counts = jax.ops.segment_sum(ones, rows, num_segments=num_rows)
+            out_wide = sums / jnp.maximum(counts, 1.0)
+        else:
+            raise ValueError(f"unknown reduce_method {reduce_method!r}")
+        return out_wide[: batch * nb].reshape(batch, gx2, gy2, gz2, 128)

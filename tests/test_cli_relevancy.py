@@ -172,3 +172,55 @@ def test_dataset_overwrite_truncates_rows(tmp_path):
         ref = f["data/saliencies/rgb|chefer_et_al"][mean_idx]
         via_ref = np.array(f["saliencies"][ref])[0]
         np.testing.assert_array_equal(absolute, via_ref)
+
+
+def test_dataset_sharded_sweep_disjoint_and_complete(tmp_path):
+    """--num-shards/--shard-id: the Ray-pool replacement's scaling story
+    (reference generate_relevancy.py:161-391 runs one actor pool; here one
+    process per chip takes every Nth scene). Two shards must touch
+    DISJOINT scene sets, their union must cover the corpus, and every
+    output must be reader-valid.
+
+    Per-chip launch recipe (one process per TPU chip/host):
+      for i in 0..N-1:  python -m semantic_abstraction_tpu.cli.generate_relevancy \
+          dataset DIR --num-shards N --shard-id $i  (device i via
+          JAX_DEFAULT_DEVICE / one-chip-per-process topology)
+    """
+    from semantic_abstraction_tpu.cli import generate_relevancy
+    from semantic_abstraction_tpu.data import DataConfig, SceneCompletionDataset
+
+    rs = np.random.RandomState(7)
+    names = [f"FloorPlan{i}_physics_0.hdf5" for i in range(4)]
+    for name in names:
+        make_scene(tmp_path / name, rs, h=32, w=32)
+        _strip_saliencies(str(tmp_path / name))
+
+    def has_saliency(path):
+        with h5py.File(str(path), "r") as f:
+            return "data/saliencies" in f and any(
+                k.endswith("saliency_text_labels")
+                for k in f["data/saliencies"].keys()
+            )
+
+    common = ["--random-weights", "--saliency_config", "chefer_et_al",
+              "--compute_dtype", "float32", "--num-shards", "2"]
+    generate_relevancy.main(
+        ["dataset", str(tmp_path)] + common + ["--shard-id", "0"])
+    done_after_0 = {n for n in names if has_saliency(tmp_path / n)}
+    # sorted order: shard 0 takes indices 0, 2
+    assert done_after_0 == {names[0], names[2]}, done_after_0
+
+    generate_relevancy.main(
+        ["dataset", str(tmp_path)] + common + ["--shard-id", "1"])
+    assert all(has_saliency(tmp_path / n) for n in names)
+
+    # every shard's output is reader-valid through the real dataset reader
+    ds = SceneCompletionDataset(
+        str(tmp_path), names,
+        DataConfig(num_input_pts=64, num_output_pts=64,
+                   saliency_config="chefer_et_al",
+                   domain_randomization=False),
+    )
+    for i in range(len(names)):
+        s = ds[i]
+        assert np.isfinite(s["input_feature_pts"]).all()

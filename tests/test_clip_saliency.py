@@ -150,20 +150,66 @@ def test_scale_grouping_matches_per_scale(tiny_saliency):
         augmentations=1,
     )
     labels = ["chair", "table", "sofa"]
+    # fuse_scales off on both sides: this test pins the GROUPING
+    # equivalence (shared gradcam sweep vs per-scale programs), so the
+    # dispatch counts must reflect the group structure, not the mono fuse
+    grouped = ClipSaliency(
+        tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
+        num_layers=0, fuse_scales=False,
+    )
     ungrouped = ClipSaliency(
         tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
-        num_layers=0, scale_group_tiles=0,
+        num_layers=0, scale_group_tiles=0, fuse_scales=False,
     )
-    maps_g, _ = tiny_saliency.get_clip_saliency(
+    maps_g, _ = grouped.get_clip_saliency(
         img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
     )
     maps_u, _ = ungrouped.get_clip_saliency(
         img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(0)
     )
-    # the grouped path really engaged (both scales fit one program)
-    assert tiny_saliency._group_jit and not ungrouped._group_jit
+    # the grouped path really engaged: both scales in ONE group (hence one
+    # dispatch even unfused), while the ungrouped instance needed two
+    n_disp_g = [n for _, n in grouped._dispatch_jit.values()]
+    n_disp_u = [n for _, n in ungrouped._dispatch_jit.values()]
+    assert n_disp_g == [1] and n_disp_u == [2], (n_disp_g, n_disp_u)
     np.testing.assert_allclose(
         np.asarray(maps_g, np.float32), np.asarray(maps_u, np.float32),
+        atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_fuse_scales_matches_chain(tiny_saliency):
+    """fuse_scales=True (ONE jitted dispatch per image: prep + every scale
+    + combine) is value-identical to the default 2-dispatch chain — jit
+    boundaries only regroup pure functions."""
+    rs = np.random.RandomState(12)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    config = SaliencyConfig(
+        crops=(CropSpec(64, 16), CropSpec(32, 8), CropSpec(16, 4)),
+        horizontal_flipping=True,
+        augmentations=1,
+    )
+    labels = ["chair", "table"]
+    fused = ClipSaliency(
+        tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
+        num_layers=0, scale_group_tiles=40, fuse_scales=True,
+    )
+    chained = ClipSaliency(
+        tiny_saliency.params, tiny_saliency.cfg, tile_batch_size=8,
+        num_layers=0, scale_group_tiles=40, fuse_scales=False,
+    )
+    maps_f, _ = fused.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(3)
+    )
+    maps_c, _ = chained.get_clip_saliency(
+        img, labels, ["a photo of a {}"], config, key=jax.random.PRNGKey(3)
+    )
+    # 3 scale groups under cap 40 (6/90/546 tiles): the chain exercises
+    # first (prep-fused), middle, and last (combine-fused) programs
+    assert [n for _, n in fused._dispatch_jit.values()] == [1]
+    assert [n for _, n in chained._dispatch_jit.values()] == [3]
+    np.testing.assert_allclose(
+        np.asarray(maps_f, np.float32), np.asarray(maps_c, np.float32),
         atol=1e-3, rtol=1e-3,
     )
 

@@ -262,3 +262,80 @@ def test_semabs_vool_unroll_and_stack_equivalence():
             a, b = np.asarray(a), np.asarray(b)
             err = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
             assert err < 1e-3, (variant, err)
+
+
+def test_blocked_basis_forward_equivalence():
+    """The 128-lane end-to-end basis (blocked scatter -> blocked_io UNet ->
+    parity-pack sampler) == the plain path, values AND gradients, for
+    SemAbs3D and SemAbsVOOL at a small C=16 config."""
+    import dataclasses as _dc
+
+    import jax
+
+    from semantic_abstraction_tpu.models import (
+        SemAbs3DConfig,
+        SemAbsVOOLConfig,
+        init_semabs3d,
+        init_semabs_vool,
+        semabs3d_forward,
+        semabs_vool_forward,
+    )
+    from semantic_abstraction_tpu.models.nets import blocked_fast_path
+
+    base = dict(
+        voxel_shape=(16, 16, 16),
+        unet_num_channels=16,
+        unet_f_maps=16,
+        unet_num_groups=8,
+        unet_num_levels=3,
+        pts_feat_extractor_hidden_dim=32,
+        unet_batch_chunk=0,
+        unet_remat_policy="full",
+    )
+    cfg_b = SemAbs3DConfig(**base)
+    cfg_p = SemAbs3DConfig(**base, blocked_basis=False)
+    params = init_semabs3d(jax.random.PRNGKey(0), cfg_b)
+    assert blocked_fast_path(params, cfg_b)
+    assert not blocked_fast_path(params, cfg_p)
+
+    rs = np.random.RandomState(0)
+    xyz = jnp.asarray(rs.uniform(-1.2, 2.1, (1, 512, 3)).astype(np.float32))
+    feats = jnp.asarray(rs.randn(1, 2, 512, 1).astype(np.float32))
+    out_pts = jnp.asarray(
+        rs.uniform(-1.2, 2.1, (1, 2, 1024, 3)).astype(np.float32))
+
+    out_b = np.asarray(semabs3d_forward(params, cfg_b, xyz, feats, out_pts))
+    out_p = np.asarray(semabs3d_forward(params, cfg_p, xyz, feats, out_pts))
+    np.testing.assert_allclose(out_b, out_p, atol=2e-5, rtol=2e-5)
+
+    # gradients through the blocked custom-VJP chain == plain chain
+    def loss(pr, cfg):
+        return (semabs3d_forward(pr, cfg, xyz, feats, out_pts) ** 2).mean()
+
+    gb = jax.grad(lambda pr: loss(pr, cfg_b))(params)
+    gp = jax.grad(lambda pr: loss(pr, cfg_p))(params)
+    flat_b = jax.tree_util.tree_leaves(gb)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_b, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+    # VOOL: two blocked streams sampled separately == channel-concat path
+    vcfg_b = SemAbsVOOLConfig(
+        completion=_dc.replace(cfg_b, decoder_concat_xyz_pts=False),
+        pointing_dim=16, desc_chunk=0,
+    )
+    vcfg_p = SemAbsVOOLConfig(
+        completion=_dc.replace(
+            cfg_p, decoder_concat_xyz_pts=False),
+        pointing_dim=16, desc_chunk=0,
+    )
+    vparams = init_semabs_vool(jax.random.PRNGKey(1), vcfg_b)
+    tgt = jnp.asarray(rs.randn(1, 2, 512, 1).astype(np.float32))
+    ref = jnp.asarray(rs.randn(1, 2, 512, 1).astype(np.float32))
+    rel = jnp.asarray(rs.randint(0, 6, (1, 2)).astype(np.int32))
+    vout_b = np.asarray(semabs_vool_forward(
+        vparams, vcfg_b, xyz, tgt, ref, out_pts, rel))
+    vout_p = np.asarray(semabs_vool_forward(
+        vparams, vcfg_p, xyz, tgt, ref, out_pts, rel))
+    np.testing.assert_allclose(vout_b, vout_p, atol=2e-4, rtol=2e-4)

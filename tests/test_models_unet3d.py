@@ -162,3 +162,36 @@ def test_conv3d_s2d_matches_plain(ref_unet3d, shape, cin, cout):
     g2 = jax.grad(lambda w_: conv3d_s2d(x, w_).sum())(w)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=3e-3,
                                rtol=3e-3)
+
+
+def test_residual_unet3d_blocked_io_matches_channels_last():
+    """blocked_io (blocked channel-last in/out, kron final matmul) ==
+    the channels_last path through space_to_depth_cl on both ends."""
+    import jax
+
+    from semantic_abstraction_tpu.models.unet3d import (
+        init_residual_unet3d,
+        residual_unet3d,
+        unet_blocked_io_ok,
+    )
+    from semantic_abstraction_tpu.ops.sampling import space_to_depth_cl
+
+    rs = np.random.RandomState(5)
+    params = init_residual_unet3d(
+        jax.random.PRNGKey(0), in_channels=16, out_channels=16,
+        f_maps=16, num_levels=3,
+    )
+    assert unet_blocked_io_ok(params, (16, 16, 16))
+    x = jnp.asarray(rs.randn(2, 16, 16, 16, 16).astype(np.float32))
+    ref = residual_unet3d(params, x, num_groups=8, remat=False,
+                          channels_last=True)
+    got_b = residual_unet3d(params, space_to_depth_cl(x), num_groups=8,
+                            remat=False, blocked_io=True)
+    assert got_b.shape == (2, 8, 8, 8, 128)
+    np.testing.assert_allclose(
+        np.asarray(got_b), np.asarray(space_to_depth_cl(ref)),
+        atol=2e-5, rtol=2e-5,
+    )
+    # and unsupported shapes are refused, not silently mis-handled
+    assert not unet_blocked_io_ok(params, (6, 16, 16))  # dim < 8
+    assert not unet_blocked_io_ok(params, (15, 16, 16))  # odd dim

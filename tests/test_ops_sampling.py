@@ -177,3 +177,74 @@ def test_grid_sample_channels_last_matches_ncdhw():
     )
     np.testing.assert_allclose(np.asarray(dc_cl), np.asarray(dc_cf),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_grid_sample_blocked_matches_channels_last():
+    """grid_sample_3d_blocked_cl(s2d(vol)) == grid_sample_3d_cl(vol), values
+    AND custom-VJP gradients (d(vol) mapped back through the blocking).
+    The blocked form is the 128-lane end-to-end train path: it samples the
+    UNet's space-to-depth basis directly, skipping depth_to_space and the
+    neighborhood concat ladder."""
+    import jax
+
+    from semantic_abstraction_tpu.ops.sampling import (
+        grid_sample_3d_blocked_cl,
+        grid_sample_3d_cl,
+        space_to_depth_cl,
+    )
+
+    rs = np.random.RandomState(11)
+    # even dims (blocked basis requirement); C=4 -> 32 lanes keeps CPU fast
+    vol_cl = jnp.asarray(rs.randn(2, 6, 4, 8, 4).astype(np.float32))
+    vol_b = space_to_depth_cl(vol_cl)
+    assert vol_b.shape == (2, 3, 2, 4, 32)
+    coords = jnp.asarray(rs.uniform(-1.3, 1.3, (2, 300, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_3d_blocked_cl(vol_b, coords)),
+        np.asarray(grid_sample_3d_cl(vol_cl, coords)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    g = jnp.asarray(rs.randn(2, 300, 4).astype(np.float32))
+
+    def loss_b(v, c):
+        return (grid_sample_3d_blocked_cl(v, c) * g).sum()
+
+    def loss_cl(v, c):
+        return (grid_sample_3d_cl(v, c) * g).sum()
+
+    dvb, dcb = jax.grad(loss_b, argnums=(0, 1))(vol_b, coords)
+    dvc, dcc = jax.grad(loss_cl, argnums=(0, 1))(vol_cl, coords)
+    np.testing.assert_allclose(
+        np.asarray(dvb), np.asarray(space_to_depth_cl(dvc)),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(dcb), np.asarray(dcc),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_grid_sample_blocked_border_and_interior_exact():
+    """Border clamping through the parity packs: queries outside [-1, 1]
+    and exactly on the far faces read the clamped corner (the zero pad
+    blocks are only ever reached with exactly-zero lerp weight)."""
+    from semantic_abstraction_tpu.ops.sampling import (
+        grid_sample_3d_blocked_cl,
+        grid_sample_3d_cl,
+        space_to_depth_cl,
+    )
+
+    rs = np.random.RandomState(12)
+    vol_cl = jnp.asarray(rs.randn(1, 4, 4, 4, 2).astype(np.float32))
+    vol_b = space_to_depth_cl(vol_cl)
+    coords = jnp.asarray(
+        np.array(
+            [[[-1, -1, -1], [1, 1, 1], [2, -3, 1.5], [1, -1, 1],
+              [0.999, 0.999, -0.999], [-2, 2, 0]]],
+            np.float32,
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_3d_blocked_cl(vol_b, coords)),
+        np.asarray(grid_sample_3d_cl(vol_cl, coords)),
+        atol=1e-6, rtol=1e-6,
+    )

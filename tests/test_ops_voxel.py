@@ -162,3 +162,51 @@ def test_scatter_channels_last_matches_ncdhw():
                 pts, feats, "max", valid_mask=mask))
             np.testing.assert_allclose(cl, cf.transpose(0, 2, 3, 4, 1),
                                        atol=1e-6)
+
+
+def test_scatter_blocked_cl_matches_space_to_depth():
+    """layout="blocked_cl" == space_to_depth_cl of the dense channel-last
+    scatter, for both reductions and with a valid_mask: the wide scatter
+    row IS the UNet's blocked level-0 input."""
+    from semantic_abstraction_tpu.ops.sampling import space_to_depth_cl
+    from semantic_abstraction_tpu.ops.voxel import VoxelGrid
+
+    grid = VoxelGrid(lower=(-1.0, -1.0, -0.1), upper=(1.0, 1.0, 1.9),
+                     grid_shape=(8, 6, 4))
+    rs = np.random.RandomState(3)
+    xyz = jnp.asarray(rs.uniform(-1.2, 2.1, (2, 500, 3)).astype(np.float32))
+    feats = jnp.asarray(rs.randn(2, 500, 16).astype(np.float32))
+    mask = jnp.asarray(rs.rand(2, 500) > 0.3)
+    for reduce_method in ("max", "mean"):
+        for vm in (None, mask):
+            dense = grid.scatter_points(
+                xyz, feats, reduce_method=reduce_method, valid_mask=vm,
+                channels_last=True,
+            )
+            blocked = grid.scatter_points(
+                xyz, feats, reduce_method=reduce_method, valid_mask=vm,
+                layout="blocked_cl",
+            )
+            assert blocked.shape == (2, 4, 3, 2, 128)
+            np.testing.assert_allclose(
+                np.asarray(blocked), np.asarray(space_to_depth_cl(dense)),
+                atol=1e-6, rtol=1e-6,
+                err_msg=f"{reduce_method} mask={vm is not None}",
+            )
+
+
+def test_scatter_blocked_cl_rejects_bad_shapes():
+    import pytest as _pytest
+
+    from semantic_abstraction_tpu.ops.voxel import VoxelGrid
+
+    rs = np.random.RandomState(0)
+    xyz = jnp.asarray(rs.uniform(-1, 1, (1, 10, 3)).astype(np.float32))
+    with _pytest.raises(ValueError, match="8\\*C"):
+        VoxelGrid(lower=(-1,) * 3, upper=(1,) * 3, grid_shape=(4, 4, 4)
+                  ).scatter_points(xyz, jnp.zeros((1, 10, 8)),
+                                   layout="blocked_cl")
+    with _pytest.raises(ValueError, match="even"):
+        VoxelGrid(lower=(-1,) * 3, upper=(1,) * 3, grid_shape=(5, 4, 4)
+                  ).scatter_points(xyz, jnp.zeros((1, 10, 16)),
+                                   layout="blocked_cl")

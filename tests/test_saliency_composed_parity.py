@@ -175,6 +175,48 @@ def test_composed_saliency_parity(pipelines):
     assert cc > 0.999, cc
 
 
+def test_composed_saliency_parity_flip_on(pipelines):
+    """horizontal_flipping=True is DETERMINISTIC (the reference flips the
+    preprocessed tile tensor on its last axis, gradcams the mirrored batch,
+    un-mirrors the relevancy, and averages — __init__.py:170-204; no RNG
+    is involved), so the flip-average/un-mirror seam is oracle-testable.
+    Same regime as the flip-off test otherwise."""
+    W, ours = pipelines
+    W.clip_gradcam.templates = ["a photo of a {}"]
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+    labels = ["chair", "table", "sofa"]
+    prompts = ["a photo of a {}"]
+    crops = [
+        {"tile_size": 96, "stride": 24},
+        {"tile_size": 48, "stride": 12},
+    ]
+    ref_maps, _ = W.get_clip_saliency(
+        img=img,
+        text_labels=labels,
+        prompts=prompts,
+        horizontal_flipping=True,
+        positive_attn_only=True,
+        augmentations=0,
+        cropping_augmentations=crops,
+    )
+    ref_maps = ref_maps.float().numpy()
+
+    config = SaliencyConfig(
+        crops=(CropSpec(96, 24), CropSpec(48, 12)),
+        horizontal_flipping=True,
+        augmentations=0,
+    )
+    maps, _ = ours.get_clip_saliency(img, labels, tuple(prompts), config)
+    maps = np.asarray(maps).astype(np.float32)
+
+    assert maps.shape == ref_maps.shape == (3, 96, 128)
+    scale = np.abs(ref_maps).max()
+    np.testing.assert_allclose(maps, ref_maps, atol=2e-2 * scale, rtol=2e-2)
+    cc = np.corrcoef(maps.ravel(), ref_maps.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
 def test_composed_distractor_parity(pipelines):
     """Nonempty distractor set, carried on the CONFIG (the reference's
     saliency_configs dicts have a distractor_labels key, __init__.py:21):
