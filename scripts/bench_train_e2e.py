@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--scenes", type=int, default=6)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--corpus", default="/tmp/semabs_e2e_corpus")
+    ap.add_argument("--wire", choices=["float32", "float16"],
+                    default="float16",
+                    help="H2D dtype for coords/features (float16 is the "
+                         "tunnel-bandwidth regime: ~30 MB/step f32 vs a "
+                         "20-100 MB/s tunnel; labels always ship uint8)")
     args = ap.parse_args()
 
     import jax
@@ -86,14 +91,14 @@ def main():
     step = make_train_step(ovssc_forward_loss, cfg, tx,
                            compute_dtype=jnp.bfloat16)
 
+    from semantic_abstraction_tpu.runtime.experiment import (
+        device_batch as _device_batch,
+    )
+
+    wire = np.float16 if args.wire == "float16" else None
+
     def device_batch(b):
-        keep = {
-            "input_xyz_pts", "input_feature_pts", "output_xyz_pts",
-            "output_label_pts", "out_of_bounds_pts",
-            "out_of_frustum_pts_mask", "padding_mask",
-        }
-        return {k: jnp.asarray(np.asarray(v)) for k, v in b.items()
-                if k in keep}
+        return _device_batch(b, "ovssc", wire_dtype=wire)
 
     # warm: one step compiles + fills the prefetch window
     it = iter(loader)
@@ -130,6 +135,7 @@ def main():
         "final_loss": round(loss, 5),
         "scenes": args.scenes,
         "workers": args.workers,
+        "wire": args.wire,
     }
     print(json.dumps(out), flush=True)
 

@@ -32,6 +32,12 @@ def depth_to_pointcloud_np(depth: np.ndarray, cam_intr: np.ndarray,
 def check_pts_in_frustum_np(xyz_pts: np.ndarray, depth_shape,
                             cam_pose: np.ndarray,
                             cam_intr: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    nm = native.frustum_mask(np.asarray(xyz_pts), depth_shape, cam_pose,
+                             cam_intr)
+    if nm is not None:
+        return nm
     h, w = depth_shape
     inv = np.linalg.inv(np.asarray(cam_pose, dtype=np.float64))
     cam = xyz_pts @ inv[:3, :3].T + inv[:3, 3]
@@ -43,7 +49,19 @@ def check_pts_in_frustum_np(xyz_pts: np.ndarray, depth_shape,
 
 
 def filter_pts_bounds_np(xyz_pts: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    nm = native.bounds_mask(np.asarray(xyz_pts), bounds)
+    if nm is not None:
+        return nm
     b = np.asarray(bounds)
+    # column-wise in-place accumulation: no (N, 3) temporaries, no
+    # axis-reduce pass (~5x at the 500k-point loader scale)
+    if xyz_pts.ndim == 2 and xyz_pts.shape[1] == 3:
+        m = (xyz_pts[:, 0] >= b[0, 0]) & (xyz_pts[:, 0] <= b[1, 0])
+        m &= (xyz_pts[:, 1] >= b[0, 1]) & (xyz_pts[:, 1] <= b[1, 1])
+        m &= (xyz_pts[:, 2] >= b[0, 2]) & (xyz_pts[:, 2] <= b[1, 2])
+        return m
     return np.all((xyz_pts >= b[0]) & (xyz_pts <= b[1]), axis=-1)
 
 
@@ -143,41 +161,48 @@ def transform_filter_subsample(
     (reference dataset.py:106-166). Side arrays are filtered along axis 0
     when their leading dim matches the point count, else along axis 1;
     sampling falls back to replace=True when the draw fails."""
+    from .. import native
+
     n = len(xyz_pts)
     if transform_matrix is not None:
         xyz_pts = xyz_pts @ transform_matrix[:3, :3].T + transform_matrix[:3, 3]
     mask = filter_pts_bounds_np(xyz_pts, scene_bounds)
-    out = {"xyz_pts": xyz_pts[mask]}
-    probs = np.asarray(subsample_probabilities, np.float64)[mask]
+    filt_idx = np.flatnonzero(mask)
+    m = len(filt_idx)
+    probs = np.asarray(subsample_probabilities, np.float64)[filt_idx]
     s = probs.sum()
-    probs = probs / s if s > 0 else np.full(mask.sum(), 1.0 / max(mask.sum(), 1))
-    for k, v in arrays.items():
-        if v is None:
-            out[k] = None
-        elif v.shape[0] == n:
-            out[k] = v[mask]
-        elif v.ndim > 1 and v.shape[1] == n:
-            out[k] = v[:, mask]
-        else:
-            raise ValueError(f"{k}: shape {v.shape} vs {n} points")
+    probs = probs / s if s > 0 else np.full(m, 1.0 / max(m, 1))
     if num_subsample_pts == -1:
+        out = {"xyz_pts": native.gather_rows(xyz_pts, filt_idx)}
+        for k, v in arrays.items():
+            if v is None:
+                out[k] = None
+            elif v.shape[0] == n:
+                out[k] = native.gather_rows(v, filt_idx)
+            elif v.ndim > 1 and v.shape[1] == n:
+                out[k] = native.gather_axis1(v, filt_idx)
+            else:
+                raise ValueError(f"{k}: shape {v.shape} vs {n} points")
         return out
-    m = len(out["xyz_pts"])
     try:
         idx = weighted_sample(rng, probs, num_subsample_pts,
                               replace=always_replace_pts)
     except ValueError:
         idx = weighted_sample(rng, probs, num_subsample_pts, replace=True)
-    from .. import native
-
-    result = {}
-    for k, v in out.items():
+    # compose filter + subsample into ONE gather from the originals: never
+    # materialize the ~n-row filtered intermediates (the loader's largest
+    # host copies at the 400k-of-1M reference scale)
+    rows = filt_idx[idx]
+    result = {"xyz_pts": native.gather_rows(xyz_pts, rows)}
+    for k, v in arrays.items():
         if v is None:
             result[k] = None
-        elif v.shape[0] == m:
-            result[k] = native.gather_rows(v, idx)
+        elif v.shape[0] == n:
+            result[k] = native.gather_rows(v, rows)
+        elif v.ndim > 1 and v.shape[1] == n:
+            result[k] = native.gather_axis1(v, rows)
         else:
-            result[k] = native.gather_axis1(v, idx)
+            raise ValueError(f"{k}: shape {v.shape} vs {n} points")
     return result
 
 
@@ -231,10 +256,17 @@ def resize_bilinear_np(maps: np.ndarray, out_hw) -> np.ndarray:
     from ..ops.sampling import resize_matrix
 
     h, w = maps.shape[-2], maps.shape[-1]
-    rm = resize_matrix(h, out_hw[0], "bilinear_torch")
-    cm = resize_matrix(w, out_hw[1], "bilinear_torch")
-    out = np.einsum("...hw,oh->...ow", maps, rm)
-    return np.einsum("...ow,pw->...op", out, cm)
+    rm = np.asarray(resize_matrix(h, out_hw[0], "bilinear_torch"),
+                    maps.dtype if maps.dtype == np.float64 else np.float32)
+    cm = np.asarray(resize_matrix(w, out_hw[1], "bilinear_torch"),
+                    rm.dtype)
+    # two BLAS matmuls (np.einsum's c_einsum path is ~8x slower here):
+    # rows: (..., H, W) -> (..., H', W) via rm @ maps over the H axis
+    lead = maps.shape[:-2]
+    m = np.ascontiguousarray(maps, rm.dtype).reshape(-1, h, w)
+    out = np.matmul(rm[None], m)            # (B, H', W)
+    out = np.matmul(out, cm.T[None])        # (B, H', W')
+    return out.reshape(lead + (out_hw[0], out_hw[1]))
 
 
 def resize_nearest_exact_np(maps: np.ndarray, out_hw) -> np.ndarray:

@@ -62,6 +62,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
 
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.weighted_sample_without_replacement.restype = ctypes.c_int
     lib.weighted_sample_without_replacement.argtypes = [
         ctypes.c_int64, ctypes.c_int64, f64p, f64p, i64p,
@@ -69,6 +71,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.weighted_sample_with_replacement.restype = ctypes.c_int
     lib.weighted_sample_with_replacement.argtypes = [
         ctypes.c_int64, ctypes.c_int64, f64p, f64p, i64p,
+    ]
+    lib.weighted_sample_alias.restype = ctypes.c_int
+    lib.weighted_sample_alias.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, f64p, ctypes.c_double, f64p, i64p,
+    ]
+    lib.bounds_mask_f32.restype = ctypes.c_int
+    lib.bounds_mask_f32.argtypes = [ctypes.c_int64, f32p, f64p, f64p, u8p]
+    lib.frustum_mask_f32.restype = ctypes.c_int
+    lib.frustum_mask_f32.argtypes = [
+        ctypes.c_int64, f32p, f64p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        u8p,
     ]
     return lib
 
@@ -101,6 +115,14 @@ def weighted_sample(rng: np.random.RandomState, probs: np.ndarray, k: int,
     n = len(probs)
     out = np.empty(k, np.int64)
     if not replace:
+        # count positives BEFORE drawing uniforms: the infeasible case
+        # (the reference's replace=True fallback trigger) costs ~0.5 ms
+        # instead of a wasted n-uniform draw + key pass.
+        if int(np.count_nonzero(probs > 0)) < k:
+            raise ValueError(
+                f"cannot draw {k} without replacement from the "
+                "positive-weight entries"
+            )
         uniforms = rng.random_sample(n)
         rc = lib.weighted_sample_without_replacement(
             n, k, _ptr(probs, ctypes.c_double), _ptr(uniforms, ctypes.c_double),
@@ -112,17 +134,58 @@ def weighted_sample(rng: np.random.RandomState, probs: np.ndarray, k: int,
                 "positive-weight entries"
             )
         return out
-    cdf = np.cumsum(probs)
-    if cdf[-1] <= 0:
+    wsum = float(probs.sum())
+    if wsum <= 0:
         raise ValueError("probabilities sum to zero")
-    draws = rng.random_sample(k) * cdf[-1]
-    rc = lib.weighted_sample_with_replacement(
-        n, k, _ptr(cdf, ctypes.c_double), _ptr(draws, ctypes.c_double),
-        _ptr(out, ctypes.c_int64),
+    u = rng.random_sample(k)
+    rc = lib.weighted_sample_alias(
+        n, k, _ptr(probs, ctypes.c_double), ctypes.c_double(wsum),
+        _ptr(u, ctypes.c_double), _ptr(out, ctypes.c_int64),
     )
     if rc != 0:
         raise ValueError("sampling failed")
     return out
+
+
+def bounds_mask(pts: np.ndarray, bounds: np.ndarray) -> Optional[np.ndarray]:
+    """(N, 3) float32 points -> inclusive in-bounds bool mask, or None when
+    the native path does not apply (caller falls back to numpy)."""
+    lib = _lib()
+    if lib is None or pts.dtype != np.float32 or pts.ndim != 2 \
+            or pts.shape[1] != 3:
+        return None
+    pts = np.ascontiguousarray(pts)
+    b = np.ascontiguousarray(np.asarray(bounds, np.float64))
+    out = np.empty(len(pts), np.uint8)
+    lib.bounds_mask_f32(
+        len(pts), _ptr(pts, ctypes.c_float), _ptr(b[0], ctypes.c_double),
+        _ptr(b[1], ctypes.c_double), _ptr(out, ctypes.c_uint8),
+    )
+    return out.view(bool)
+
+
+def frustum_mask(pts: np.ndarray, depth_shape, cam_pose: np.ndarray,
+                 cam_intr: np.ndarray) -> Optional[np.ndarray]:
+    """(N, 3) float32 world points -> frustum-membership bool mask
+    (bit-identical double arithmetic to check_pts_in_frustum_np), or None
+    when the native path does not apply."""
+    lib = _lib()
+    if lib is None or pts.dtype != np.float32 or pts.ndim != 2 \
+            or pts.shape[1] != 3:
+        return None
+    pts = np.ascontiguousarray(pts)
+    inv = np.linalg.inv(np.asarray(cam_pose, dtype=np.float64))
+    inv_rt = np.ascontiguousarray(inv[:3, :4])
+    intr = np.asarray(cam_intr, np.float64)
+    h, w = depth_shape
+    out = np.empty(len(pts), np.uint8)
+    lib.frustum_mask_f32(
+        len(pts), _ptr(pts, ctypes.c_float), _ptr(inv_rt, ctypes.c_double),
+        ctypes.c_double(intr[0, 0]), ctypes.c_double(intr[1, 1]),
+        ctypes.c_double(intr[0, 2]), ctypes.c_double(intr[1, 2]),
+        int(h), int(w), _ptr(out, ctypes.c_uint8),
+    )
+    return out.view(bool)
 
 
 _GATHER_FNS = {

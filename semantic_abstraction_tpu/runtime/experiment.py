@@ -281,14 +281,39 @@ def setup_experiment(args, task: str, approach: str,
     }
 
 
+# float arrays safe to ship narrow when a wire dtype is set: coordinates
+# (quantization ~1e-3 at scene scale) and relevancy features (stored f16 in
+# the HDF5 schema anyway, generate_relevancy.py wire format)
+_WIRE_COMPRESSIBLE = frozenset({
+    "input_xyz_pts", "output_xyz_pts", "input_feature_pts",
+    "input_target_saliency_pts", "input_reference_saliency_pts",
+    "input_description_saliency_pts", "input_rgb_pts",
+})
+
+
 def device_batch(batch: dict, task: str, mesh=None,
-                 text_encoder: Optional[Callable] = None) -> dict:
+                 text_encoder: Optional[Callable] = None,
+                 wire_dtype=None) -> dict:
     """numpy batch -> device arrays for the jitted step; computes the
-    semaware text features host-side (reference net.py:594-602)."""
+    semaware text features host-side (reference net.py:594-602).
+
+    ``wire_dtype`` (e.g. np.float16) narrows the float arrays in
+    ``_WIRE_COMPRESSIBLE`` before the host->device transfer — a
+    tunnel-bandwidth mitigation (the 128^3 train batch is ~30 MB f32; a
+    remote-tunneled chip moves 20-100 MB/s where a real TPU host's PCIe
+    moves GB/s). 0/1 label arrays always ship uint8 (lossless — the loss
+    casts to f32 on device, losses.py:79).
+    """
     out = {}
     for k in DEVICE_KEYS[task]:
         if k in batch and isinstance(batch[k], np.ndarray):
-            out[k] = batch[k]
+            v = batch[k]
+            if k == "output_label_pts" and v.dtype != np.uint8:
+                v = v.astype(np.uint8)
+            elif (wire_dtype is not None and k in _WIRE_COMPRESSIBLE
+                  and v.dtype == np.float32):
+                v = v.astype(wire_dtype)
+            out[k] = v
     if "tsdf_vol" in batch and isinstance(batch["tsdf_vol"], np.ndarray):
         tv = batch["tsdf_vol"]
         if tv.ndim == 4:  # (B, gx, gy, gz)
