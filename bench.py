@@ -130,6 +130,47 @@ def _tunnel_probe():
     }
 
 
+# per-image wire bytes of the headline workload: 9 full-res f16 maps down,
+# one uint8 frame + jitter params up
+_MAP_READBACK_MB = 9 * 480 * 640 * 2 / 1e6
+_IMG_UPLOAD_MB = 480 * 640 * 3 / 1e6
+
+
+def _wire_ceiling(probe):
+    """Physical maps/s ceiling of the probed tunnel: no pipeline can beat
+    bytes/bandwidth. Recorded in the artifact so a wire-bound capture
+    (value ~= ceiling) is attributable at a glance."""
+    wire_s = (_MAP_READBACK_MB / max(probe["tunnel_readback_MBps"], 1e-6)
+              + _IMG_UPLOAD_MB / max(probe["tunnel_upload_MBps"], 1e-6))
+    return 9.0 / wire_s
+
+
+def _probe_with_retry():
+    """Tunnel probe with bounded retry. This host live-migrates; windows
+    below ~20 MB/s readback make the 5.5 MB/image map readback the hard
+    cap (e.g. 9.6 MB/s caps ANY full-res pipeline at ~15 maps/s
+    regardless of compute). A catastrophic first probe is re-taken up to
+    4 times, 45 s apart, keeping the best window; every probe lands in
+    the artifact (probe_history) so the capture conditions are never
+    hidden."""
+    history = []
+    probe = _tunnel_probe()
+    history.append(dict(probe))
+    tries = 0
+    while probe["tunnel_readback_MBps"] < 20.0 and tries < 4:
+        print(f"tunnel probe degraded ({probe}); retrying in 45 s",
+              file=sys.stderr, flush=True)
+        time.sleep(45)
+        probe = _tunnel_probe()
+        history.append(dict(probe))
+        tries += 1
+    # measure under the LAST probe's conditions (closest in time to the
+    # measurement itself) — never report an earlier, better window's probe
+    probe = dict(probe)
+    probe["probe_history"] = history
+    return probe
+
+
 def _measure_relevancy(probe):
     import jax
     import jax.numpy as jnp
@@ -220,7 +261,30 @@ def _measure_relevancy(probe):
             realize(pending.popleft())
         walls.append(time.perf_counter() - t0)
     walls.sort()
-    return k * len(labels) / walls[1], latency, walls, depth
+
+    # supplementary: device-compute rate with a 9-float readback per image
+    # (per-label map means — execution of the full saliency still runs;
+    # only the 5.5 MB transfer is omitted). On a catastrophically degraded
+    # tunnel the headline is wire-bound (see _wire_ceiling); this field
+    # shows what the CHIP did in the same window. Clearly labeled — it is
+    # NOT the headline.
+    reduce_fn = jax.jit(lambda m: jnp.mean(m, axis=(-2, -1)))
+    np.asarray(reduce_fn(maps))  # compile outside the timing
+    pending = collections.deque()
+    t0 = time.perf_counter()
+    for i in range(k):
+        maps, _ = sal.get_clip_saliency(
+            img, labels, list(HEADLINE_PROMPTS), config,
+            key=jax.random.PRNGKey(900 + i),
+        )
+        pending.append(reduce_fn(maps))
+        if len(pending) > depth:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    compute_rate = k * len(labels) / (time.perf_counter() - t0)
+
+    return k * len(labels) / walls[1], latency, walls, depth, compute_rate
 
 
 def _measure_train():
@@ -363,8 +427,9 @@ def _child_main():
         sys.exit(3)
     print(HEARTBEAT, flush=True)
 
-    probe = _tunnel_probe()
-    maps_per_sec, latency, walls, depth = _measure_relevancy(probe)
+    probe = _probe_with_retry()
+    maps_per_sec, latency, walls, depth, compute_rate = \
+        _measure_relevancy(probe)
 
     result = {
         "metric": "relevancy_maps_per_sec_per_chip",
@@ -381,8 +446,18 @@ def _child_main():
         # run in the artifact itself instead of silently absorbing it
         "pipeline_walls_s": [round(x, 3) for x in walls],
         "pipeline_depth": depth,
+        # device-compute maps/s in the SAME window with a 9-float readback
+        # per image (full saliency still executes; only the 5.5 MB map
+        # transfer is omitted) — NOT the headline, shows the chip's rate
+        # when the tunnel is the binding constraint
+        "maps_per_sec_compute_bound": round(compute_rate, 3),
+        # physical wire ceiling of the probed tunnel (bytes/bandwidth):
+        # value ~= ceiling means the capture was wire-bound, not chip-bound
+        "wire_ceiling_maps_per_sec": round(_wire_ceiling(probe), 2),
         # tunnel probe fields: a slow capture window is attributable from
-        # the artifact alone (clean windows: ~7-25 ms RTT, 20-100 MB/s)
+        # the artifact alone (clean windows: ~7-25 ms RTT, 20-100 MB/s;
+        # probe_history shows the retry sequence when the first probe was
+        # catastrophic)
         **probe,
         "baseline_note": "estimated 3090 floor 1.0 maps/s from counted "
                          "work (3120 ViT fwd + tail bwds + 4.5s host "

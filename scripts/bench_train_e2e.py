@@ -56,6 +56,7 @@ def main():
                     help="H2D dtype for coords/features (float16 is the "
                          "tunnel-bandwidth regime: ~30 MB/step f32 vs a "
                          "20-100 MB/s tunnel; labels always ship uint8)")
+    ap.add_argument("--task", choices=["ovssc", "vool"], default="ovssc")
     args = ap.parse_args()
 
     import jax
@@ -66,30 +67,43 @@ def main():
     from semantic_abstraction_tpu.data import (
         DataConfig,
         DataLoader,
+        ObjectLocalizationDataset,
         SceneCompletionDataset,
     )
-    from semantic_abstraction_tpu.models import SemAbs3DConfig, init_semabs3d
+    from semantic_abstraction_tpu.models import (
+        SemAbs3DConfig,
+        SemAbsVOOLConfig,
+        init_semabs3d,
+        init_semabs_vool,
+    )
     from semantic_abstraction_tpu.runtime import (
         init_train_state,
         make_optimizer,
         make_train_step,
         ovssc_forward_loss,
+        vool_forward_loss,
     )
 
     print(f"platform: {jax.devices()[0].platform}", file=sys.stderr)
     names = build_corpus(args.corpus, args.scenes)
 
     dcfg = DataConfig(num_input_pts=80_000, num_output_pts=400_000)
-    ds = SceneCompletionDataset(args.corpus, names, dcfg)
+    if args.task == "ovssc":
+        ds = SceneCompletionDataset(args.corpus, names, dcfg)
+        cfg = SemAbs3DConfig()
+        params = init_semabs3d(jax.random.PRNGKey(0), cfg)
+        fwd = ovssc_forward_loss
+    else:
+        ds = ObjectLocalizationDataset(args.corpus, names, dcfg)
+        cfg = SemAbsVOOLConfig()
+        params = init_semabs_vool(jax.random.PRNGKey(0), cfg)
+        fwd = vool_forward_loss
     loader = DataLoader(ds, batch_size=1, num_workers=args.workers,
                         shuffle=True, seed=0, drop_last=False)
 
-    cfg = SemAbs3DConfig()
-    params = init_semabs3d(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(num_training_steps=1000)
     state = init_train_state(params, tx)
-    step = make_train_step(ovssc_forward_loss, cfg, tx,
-                           compute_dtype=jnp.bfloat16)
+    step = make_train_step(fwd, cfg, tx, compute_dtype=jnp.bfloat16)
 
     from semantic_abstraction_tpu.runtime.experiment import (
         device_batch as _device_batch,
@@ -98,7 +112,7 @@ def main():
     wire = np.float16 if args.wire == "float16" else None
 
     def device_batch(b):
-        return _device_batch(b, "ovssc", wire_dtype=wire)
+        return _device_batch(b, args.task, wire_dtype=wire)
 
     # warm: one step compiles + fills the prefetch window
     it = iter(loader)
@@ -125,7 +139,7 @@ def main():
     loss = float(stats["loss"])  # sync the whole chain
     wall = time.perf_counter() - t0
     out = {
-        "metric": "train_steps_per_sec_ovssc_e2e",
+        "metric": f"train_steps_per_sec_{args.task}_e2e",
         "value": round(n / wall, 3),
         "unit": "steps/s (loader-fed: gzip-HDF5 + subsample + collate + "
                 "H2D + 128^3 train step, batch 1/chip)",

@@ -221,6 +221,40 @@ def test_train_step_bf16_compute_decreases_loss():
     np.testing.assert_allclose(bf[0], losses[jnp.float32][0], rtol=2e-2)
 
 
+def test_train_step_f16_wire_matches_f32():
+    """device_batch(wire_dtype=float16) ships coords/features f16 and 0/1
+    labels uint8 over the wire (the tunnel-bandwidth mitigation,
+    experiment.py _WIRE_COMPRESSIBLE). The uint8 label cast is lossless
+    (the loss casts back, losses.py:79); the f16 coordinate quantization
+    must stay within bf16-compute tolerance of the f32-wire step."""
+    from semantic_abstraction_tpu.runtime.experiment import device_batch
+
+    rs = np.random.RandomState(8)
+    params = init_semabs3d(jax.random.PRNGKey(0), TINY)
+    raw = _batch(rs, 1)
+    losses = {}
+    for wire in (None, np.float16):
+        b = device_batch(raw, "ovssc", wire_dtype=wire)
+        assert b["output_label_pts"].dtype == np.uint8
+        if wire is np.float16:
+            assert b["input_xyz_pts"].dtype == np.float16
+            assert b["output_xyz_pts"].dtype == np.float16
+        tx = make_optimizer(lr=1e-2, num_warmup_steps=1,
+                            num_training_steps=50)
+        state = init_train_state(params, tx)
+        step = make_train_step(ovssc_forward_loss, TINY, tx,
+                               compute_dtype=jnp.bfloat16, donate=False)
+        ls = []
+        for _ in range(4):
+            state, stats = step(state, b)
+            ls.append(float(stats["loss"]))
+        losses[wire] = ls
+    assert np.isfinite(losses[np.float16]).all()
+    np.testing.assert_allclose(losses[np.float16][0], losses[None][0],
+                               rtol=2e-2)
+    assert losses[np.float16][-1] < losses[np.float16][0]
+
+
 def test_train_step_sharded_8_devices():
     assert len(jax.devices()) >= 8
     rs = np.random.RandomState(7)
