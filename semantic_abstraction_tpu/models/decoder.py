@@ -22,7 +22,7 @@ import numpy as np
 
 from ..ops.sampling import (
     grid_sample_3d,
-    grid_sample_3d_blocked_cl,
+    grid_sample_3d_blocked_cl_chunked,
     grid_sample_3d_cl,
 )
 from ..ops.voxel import VoxelGrid
@@ -87,11 +87,12 @@ def implicit_decoder(
         # which the blocked lane order cannot express directly
         if isinstance(features_vol, (tuple, list)):
             sampled = jnp.concatenate(
-                [grid_sample_3d_blocked_cl(v, coords) for v in features_vol],
+                [grid_sample_3d_blocked_cl_chunked(v, coords)
+                 for v in features_vol],
                 axis=-1,
             )
         else:
-            sampled = grid_sample_3d_blocked_cl(features_vol, coords)
+            sampled = grid_sample_3d_blocked_cl_chunked(features_vol, coords)
     elif channels_last:
         sampled = grid_sample_3d_cl(features_vol, coords)  # (B, N, C)
     else:

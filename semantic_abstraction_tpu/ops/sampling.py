@@ -302,18 +302,21 @@ def _blocked_pack_selectors(c: int):
 
 
 def _parity_pack(vol_b: jax.Array) -> jax.Array:
-    """(D2, H2, W2, 8C) blocked volume -> (8 * D2*H2*W2, 8C) parity-stacked
-    neighborhood packs: rows [pc * D2*H2*W2 + lin(bz, by, bx)] hold the
-    2x2x2 neighborhood of base voxel (2bz+pz, 2by+py, 2bx+px) in corner-
-    major (dz, dy, dx) lane order — the same order :func:`_row_pack` emits,
-    so the gather+lerp downstream is shared."""
-    d2, h2, w2, k = vol_b.shape
+    """(B, D2, H2, W2, 8C) blocked volumes -> (B * 8 * D2*H2*W2, 8C)
+    parity-stacked neighborhood packs: rows
+    [(b * 8 + pc) * D2*H2*W2 + lin(bz, by, bx)] hold the 2x2x2
+    neighborhood of base voxel (2bz+pz, 2by+py, 2bx+px) in corner-major
+    (dz, dy, dx) lane order — the same order :func:`_row_pack` emits, so
+    the gather+lerp downstream is shared. BATCHED straight-line code (no
+    lax.map): the blocked sampler's per-row loop form measured ~75 ms/step
+    of loop-boundary buffer copies at the train config."""
+    b, d2, h2, w2, k = vol_b.shape
     c = k // 8
-    vp = jnp.pad(vol_b, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    vp = jnp.pad(vol_b, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
     packs = [None] * 8
     for pc, (oz, oy, ox), m in _blocked_pack_selectors(c):
         sl = jax.lax.slice(
-            vp, (oz, oy, ox, 0), (oz + d2, oy + h2, ox + w2, k)
+            vp, (0, oz, oy, ox, 0), (b, oz + d2, oy + h2, ox + w2, k)
         )
         # precision=HIGHEST: the selector is a 0/1 lane PERMUTATION, so the
         # matmul must be value-exact. TPU's default f32 matmul precision
@@ -321,11 +324,11 @@ def _parity_pack(vol_b: jax.Array) -> jax.Array:
         # error vs the dense sampler); HIGHEST restores f32-exactness and
         # is a no-op for bf16 operands (the train path).
         contrib = sl if m is None else jnp.einsum(
-            "dhwk,kl->dhwl", sl, jnp.asarray(m, vol_b.dtype),
+            "bdhwk,kl->bdhwl", sl, jnp.asarray(m, vol_b.dtype),
             precision=jax.lax.Precision.HIGHEST,
         )
         packs[pc] = contrib if packs[pc] is None else packs[pc] + contrib
-    return jnp.stack(packs).reshape(8 * d2 * h2 * w2, k)
+    return jnp.stack(packs, axis=1).reshape(b * 8 * d2 * h2 * w2, k)
 
 
 def _blocked_prep(dhw2, coords):
@@ -351,16 +354,14 @@ def grid_sample_3d_blocked_cl(vol_b: jax.Array, coords: jax.Array) -> jax.Array:
     ((sz*2+sy)*2+sx)*C + c, matching models/unet3d._space_to_depth."""
     b, d2, h2, w2, k = vol_b.shape
     c = k // 8
+    n = coords.shape[1]
     lin, fx, fy, fz = _blocked_prep((d2, h2, w2), coords)
     w8 = _lerp_weights(fx, fy, fz)  # (B, N, 8)
-
-    def row(args):
-        vol_r, lin_r, w8_r = args
-        pack = _parity_pack(vol_r)
-        g8 = jnp.take(pack, lin_r, axis=0).reshape(-1, 8, c)
-        return (g8 * w8_r[:, :, None].astype(g8.dtype)).sum(axis=1)
-
-    return jax.lax.map(row, (vol_b, lin, w8))
+    pack = _parity_pack(vol_b)
+    rows = lin + (jnp.arange(b, dtype=lin.dtype)
+                  * (8 * d2 * h2 * w2))[:, None]
+    g8 = jnp.take(pack, rows.reshape(-1), axis=0).reshape(b, n, 8, c)
+    return (g8 * w8[..., None].astype(g8.dtype)).sum(axis=2)
 
 
 def _grid_sample_blocked_fwd(vol_b, coords):
@@ -380,54 +381,51 @@ def _grid_sample_blocked_bwd(res, g):
     b, d2, h2, w2, k = vol_b.shape
     c = k // 8
     n = coords.shape[1]
+    nb = 8 * d2 * h2 * w2
     acc = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
     lin, fx, fy, fz = _blocked_prep((d2, h2, w2), coords)
     gf = g.astype(jnp.float32)
     w8 = _lerp_weights(fx, fy, fz).astype(jnp.float32)  # (B, N, 8)
-    data = (w8[..., None] * gf[:, :, None, :]).reshape(b, n, k).astype(acc)
+    data = (w8[..., None] * gf[:, :, None, :]).reshape(b * n, k).astype(acc)
+    rows = (lin + (jnp.arange(b, dtype=lin.dtype) * nb)[:, None]).reshape(-1)
+    staging = jnp.zeros((b * nb, k), acc).at[rows].add(data)
+    staging = staging.reshape(b, 8, d2, h2, w2, k)
+    dvp = jnp.zeros((b, d2 + 1, h2 + 1, w2 + 1, k), acc)
+    for pc, (oz, oy, ox), m in _blocked_pack_selectors(c):
+        st = staging[:, pc]
+        contrib = st if m is None else jnp.einsum(
+            "bdhwl,kl->bdhwk", st, jnp.asarray(m, acc),
+            precision=jax.lax.Precision.HIGHEST,  # exact permutation
+        )
+        dvp = dvp.at[:, oz : oz + d2, oy : oy + h2, ox : ox + w2].add(contrib)
+    dvol = dvp[:, :d2, :h2, :w2].astype(vol_b.dtype)
+
+    # --- d(coords): packed gather + analytic lerp derivatives. Straight-
+    # line code: when the caller stop_gradients the queries (the decoder
+    # does — coords are data, never parameters) XLA DCEs this entire
+    # branch, which a lax.map body did not reliably allow.
+    pack = _parity_pack(vol_b).astype(jnp.float32)
+    g8 = jnp.take(pack, rows, axis=0).reshape(b, n, 2, 2, 2, c)
     fxe = fx[..., None].astype(jnp.float32)
     fye = fy[..., None].astype(jnp.float32)
     fze = fz[..., None].astype(jnp.float32)
-    sels = _blocked_pack_selectors(c)
-
-    def row(args):
-        vol_r, data_r, lin_r, gf_r, fx_r, fy_r, fz_r = args
-        staging = jnp.zeros((8 * d2 * h2 * w2, k), acc)
-        staging = staging.at[lin_r].add(data_r)
-        staging = staging.reshape(8, d2, h2, w2, k)
-        dvp = jnp.zeros((d2 + 1, h2 + 1, w2 + 1, k), acc)
-        for pc, (oz, oy, ox), m in sels:
-            st = staging[pc]
-            contrib = st if m is None else jnp.einsum(
-                "dhwl,kl->dhwk", st, jnp.asarray(m, acc),
-                precision=jax.lax.Precision.HIGHEST,  # exact permutation
-            )
-            dvp = dvp.at[oz : oz + d2, oy : oy + h2, ox : ox + w2].add(contrib)
-        dvol_r = dvp[:d2, :h2, :w2]
-
-        # --- d(coords): packed gather + analytic lerp derivatives
-        pack = _parity_pack(vol_r).astype(jnp.float32)
-        g8 = jnp.take(pack, lin_r, axis=0).reshape(-1, 2, 2, 2, c)
-        c000, c001 = g8[:, 0, 0, 0], g8[:, 0, 0, 1]
-        c010, c011 = g8[:, 0, 1, 0], g8[:, 0, 1, 1]
-        c100, c101 = g8[:, 1, 0, 0], g8[:, 1, 0, 1]
-        c110, c111 = g8[:, 1, 1, 0], g8[:, 1, 1, 1]
-        dfx = ((c001 - c000) * (1 - fy_r) + (c011 - c010) * fy_r) * (1 - fz_r) + (
-            (c101 - c100) * (1 - fy_r) + (c111 - c110) * fy_r
-        ) * fz_r
-        dfy = ((c010 - c000) * (1 - fx_r) + (c011 - c001) * fx_r) * (1 - fz_r) + (
-            (c110 - c100) * (1 - fx_r) + (c111 - c101) * fx_r
-        ) * fz_r
-        dfz = ((c100 - c000) * (1 - fx_r) + (c101 - c001) * fx_r) * (1 - fy_r) + (
-            (c110 - c010) * (1 - fx_r) + (c111 - c011) * fx_r
-        ) * fy_r
-        gx = (gf_r * dfx).sum(-1)
-        gy = (gf_r * dfy).sum(-1)
-        gz = (gf_r * dfz).sum(-1)
-        return dvol_r, jnp.stack([gx, gy, gz], axis=-1)
-
-    dvol, dxyz = jax.lax.map(row, (vol_b, data, lin, gf, fxe, fye, fze))
-    dvol = dvol.astype(vol_b.dtype)
+    c000, c001 = g8[:, :, 0, 0, 0], g8[:, :, 0, 0, 1]
+    c010, c011 = g8[:, :, 0, 1, 0], g8[:, :, 0, 1, 1]
+    c100, c101 = g8[:, :, 1, 0, 0], g8[:, :, 1, 0, 1]
+    c110, c111 = g8[:, :, 1, 1, 0], g8[:, :, 1, 1, 1]
+    dfx = ((c001 - c000) * (1 - fye) + (c011 - c010) * fye) * (1 - fze) + (
+        (c101 - c100) * (1 - fye) + (c111 - c110) * fye
+    ) * fze
+    dfy = ((c010 - c000) * (1 - fxe) + (c011 - c001) * fxe) * (1 - fze) + (
+        (c110 - c100) * (1 - fxe) + (c111 - c101) * fxe
+    ) * fze
+    dfz = ((c100 - c000) * (1 - fxe) + (c101 - c001) * fxe) * (1 - fye) + (
+        (c110 - c010) * (1 - fxe) + (c111 - c011) * fxe
+    ) * fye
+    gx = (gf * dfx).sum(-1)
+    gy = (gf * dfy).sum(-1)
+    gz = (gf * dfz).sum(-1)
+    dxyz = jnp.stack([gx, gy, gz], axis=-1)
     d, h, w = 2 * d2, 2 * h2, 2 * w2
     sizes = jnp.asarray([w, h, d], dtype=jnp.float32)
     idx_unclipped = (coords.astype(jnp.float32) + 1.0) * 0.5 * (sizes - 1)
@@ -438,6 +436,27 @@ def _grid_sample_blocked_bwd(res, g):
 
 
 grid_sample_3d_blocked_cl.defvjp(_grid_sample_blocked_fwd, _grid_sample_blocked_bwd)
+
+
+def grid_sample_3d_blocked_cl_chunked(vol_b: jax.Array, coords: jax.Array,
+                                      chunk: int = 1) -> jax.Array:
+    """Batch-chunked :func:`grid_sample_3d_blocked_cl`: unrolled python
+    loop over ``chunk``-sized batch slices (value-identical — the sampler
+    is independent per batch row). The full-batch form materializes every
+    patch's parity pack at once (~268 MB at the 4-patch train config) and
+    measured −10% on the full OVSSC step from the extra memory pressure;
+    per-patch chunks keep ONE pack live while avoiding the old lax.map
+    row loop's ~75 ms/step of loop-boundary buffer copies."""
+    b = vol_b.shape[0]
+    if b <= chunk or b % chunk != 0:
+        return grid_sample_3d_blocked_cl(vol_b, coords)
+    outs = []
+    for i in range(0, b, chunk):
+        outs.append(grid_sample_3d_blocked_cl(
+            jax.lax.slice_in_dim(vol_b, i, i + chunk, axis=0),
+            jax.lax.slice_in_dim(coords, i, i + chunk, axis=0),
+        ))
+    return jnp.concatenate(outs, axis=0)
 
 
 def space_to_depth_cl(vol_cl: jax.Array) -> jax.Array:
