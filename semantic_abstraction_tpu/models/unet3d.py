@@ -67,10 +67,13 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     # half-empty 128-lane tiles; the merged axis is a free row-major
     # reshape and keeps the reduce full-lane
     x_flat = x.reshape(b, c, -1)
-    xf = x_flat.astype(jnp.float32)
     n = count if count is not None else x_flat.shape[2]
-    s1 = xf.sum(axis=2) / n  # (B, C)
-    s2 = (xf * xf).sum(axis=2) / n  # (B, C)
+    # one fused convert->(square)->reduce per moment: a SHARED f32
+    # upcast (xf = x_flat.astype(f32) consumed by both sums) materialized
+    # a full-volume f32 copy in the compiled step (~600 MB x2 at the
+    # 128^3 config) because two consumers defeat fusion duplication
+    s1 = x_flat.astype(jnp.float32).sum(axis=2) / n  # (B, C)
+    s2 = jnp.square(x_flat.astype(jnp.float32)).sum(axis=2) / n  # (B, C)
     pool = np.zeros((c, num_groups), np.float32)
     pool[np.arange(c), gid] = 1.0
     pool /= pool.sum(axis=0, keepdims=True)
@@ -85,10 +88,17 @@ def _group_norm_affine(x: jax.Array, gid: np.ndarray, num_groups: int,
     # conv's input); only the moments use the flat view — a flat affine
     # measured slightly slower
     shape = (b, c) + (1,) * (x.ndim - 2)
-    out = x.astype(jnp.float32) * sc.reshape(shape) + bi.reshape(shape)
+    # apply the affine IN the data dtype (stats stay f32): the f32
+    # formulation materialized the full volume f32 and XLA's layout
+    # assignment inserted the conv-operand relayout copy at f32 width —
+    # ~600 MB x4 extra copy bytes per step at the 128^3 config (seen in
+    # the compiled HLO at this line). bf16 rounding of the per-channel
+    # scale/bias matches torch-autocast GN semantics; the f32 compute
+    # path (all parity tests) is unchanged (casts are no-ops).
+    out = x * sc.astype(x.dtype).reshape(shape) + bi.astype(x.dtype).reshape(shape)
     if mask_1d is not None:
         out = _apply_odd_mask(out, mask_1d)
-    return out.astype(x.dtype)
+    return out
 
 
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, num_groups: int,
