@@ -401,6 +401,10 @@ class SemAbsVOOLConfig:
     # ms/step in loop machinery at the full-size regime (see
     # semabs_vool_forward)
     desc_unroll: bool = True
+    # how many desc chunks ahead the unrolled loop may run: 0 = strict
+    # serialization (one volume pair live), 1 = overlap the next chunk's
+    # DMA/inits with the current chunk's compute (a second pair live)
+    desc_lookahead: int = 0
     # run target+reference through ONE stacked batch-2 UNet pass per
     # description instead of two batch-1 passes
     stack_streams: bool = False
@@ -488,13 +492,20 @@ def semabs_vool_forward(
             # keeps ONE (target, reference) volume pair live at a time
             # (the all-at-once schedule OOMs 16 GB HBM).
             outs = []
+            lookahead = int(cfg.desc_lookahead)
             for d0 in range(0, nd, dchunk):
                 tgt_d = input_target_saliency_pts[:, d0:d0 + dchunk]
                 ref_d = input_reference_saliency_pts[:, d0:d0 + dchunk]
                 out_d = output_xyz_pts[:, d0:d0 + dchunk].reshape(dchunk, m, 3)
-                if outs:
+                # chain chunk k's inputs to chunk k-1-lookahead's output:
+                # lookahead=0 keeps ONE (target, reference) volume pair
+                # live (the all-at-once schedule OOMs 16 GB HBM);
+                # lookahead=1 lets the scheduler overlap chunk k's
+                # zero-inits/DMA with chunk k-1's compute at the cost of a
+                # second live pair
+                if len(outs) > lookahead:
                     tgt_d, ref_d, out_d, _ = jax.lax.optimization_barrier(
-                        (tgt_d, ref_d, out_d, outs[-1]))
+                        (tgt_d, ref_d, out_d, outs[-1 - lookahead]))
                 outs.append(streams_to_sampled(tgt_d, ref_d, out_d))
             sampled = jnp.concatenate(outs, axis=0)  # (nd, m, pd)
         else:
