@@ -67,3 +67,37 @@ def test_gather_out_of_range_raises():
     src = np.zeros((10, 2), np.float32)
     with pytest.raises(IndexError):
         native.gather_rows(src, np.array([11]))
+
+
+def test_bounds_mask_bit_identical_to_numpy():
+    rs = np.random.RandomState(7)
+    pts = (rs.rand(20000, 3).astype(np.float32) - 0.3) * 3
+    bounds = np.array([[-1.0, -1.0, -0.1], [1.0, 1.0, 1.9]])
+    # exact-boundary rows: inclusive on both ends must match numpy
+    pts[:4] = [[-1.0, -1.0, -0.1], [1.0, 1.0, 1.9],
+               [-1.0000001, 0.0, 0.0], [1.0000001, 0.0, 0.0]]
+    got = native.bounds_mask(pts, bounds)
+    ref = np.all((pts >= bounds[0]) & (pts <= bounds[1]), axis=-1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_frustum_mask_bit_identical_to_numpy():
+    rs = np.random.RandomState(8)
+    pts = (rs.rand(20000, 3).astype(np.float32) - 0.5) * 4
+    th = 0.3
+    pose = np.eye(4)
+    pose[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    pose[:3, 3] = [0.1, -0.2, 0.3]
+    intr = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    got = native.frustum_mask(pts, (480, 640), pose, intr)
+    # the numpy twin's exact arithmetic (transforms.check_pts_in_frustum_np
+    # pre-native formulation)
+    inv = np.linalg.inv(pose)
+    cam = pts @ inv[:3, :3].T + inv[:3, 3]
+    z = cam[:, 2]
+    sz = np.where(z == 0, 1e-12, z)
+    px = intr[0, 0] / sz * cam[:, 0] + intr[0, 2]
+    py = intr[1, 1] / sz * cam[:, 1] + intr[1, 2]
+    ref = (px >= 0) & (px < 640) & (py >= 0) & (py < 480) & (z > 0)
+    np.testing.assert_array_equal(got, ref)
