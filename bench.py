@@ -149,10 +149,11 @@ def _probe_with_retry():
     """Tunnel probe with bounded retry. This host live-migrates; windows
     below ~20 MB/s readback make the 5.5 MB/image map readback the hard
     cap (e.g. 9.6 MB/s caps ANY full-res pipeline at ~15 maps/s
-    regardless of compute). A catastrophic first probe is re-taken up to
-    4 times, 45 s apart, keeping the best window; every probe lands in
-    the artifact (probe_history) so the capture conditions are never
-    hidden."""
+    regardless of compute). A catastrophic probe is re-taken up to 4
+    times, 45 s apart, until one clears the threshold or retries run
+    out; the LAST probe (the conditions closest in time to the
+    measurement) is what the artifact reports, and every probe lands in
+    probe_history so the capture conditions are never hidden."""
     history = []
     probe = _tunnel_probe()
     history.append(dict(probe))

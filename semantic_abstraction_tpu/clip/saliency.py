@@ -174,6 +174,7 @@ class ScalePlan:
 
 
 @functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=64)
 def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
               num_images: int) -> Tuple[ScalePlan, ...]:
     """Static crop plan for an (H, W) image (reference create_tiles
@@ -183,6 +184,9 @@ def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
     Tiles always form a REGULAR (nx, ny) grid with spacing ``stride``
     (the reference loops arange(0, limit, stride) and only skips a
     suffix), which the accumulator exploits to avoid scatters entirely.
+    lru_cached: the per-image dispatch path consults the plan (it is a
+    pure function of static config), and the count canvas is O(H*W) via
+    the grid's separable per-axis coverage instead of per-tile adds.
     """
     h, w = hw
     plans = []
@@ -193,9 +197,26 @@ def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
         # reference iterates y (cols) outer, x (rows) inner
         offs = [(x, y) for y in ys for x in xs]
         offsets = np.asarray(offs, dtype=np.int32).reshape(-1, 2)
-        count = np.full((h, w), 1e-5, dtype=np.float32)
-        for x, y in offs:
-            count[x : x + ts, y : y + ts] += float(num_images)
+        # separable coverage: tiles are the cross product xs x ys, so the
+        # per-pixel overlap count is (rows covering) x (cols covering).
+        # The VALUE per pixel replays the reference's sequential f32 adds
+        # (1e-5 += num_images, k times) via a k-indexed table — bit-exact
+        # with the per-tile accumulation loop at O(H*W) instead of
+        # O(tiles * tile_area)
+        rowc = np.zeros(h + 1, np.int64)
+        for x in xs:
+            rowc[x] += 1
+            rowc[min(x + ts, h)] -= 1
+        colc = np.zeros(w + 1, np.int64)
+        for y in ys:
+            colc[y] += 1
+            colc[min(y + ts, w)] -= 1
+        cover = np.outer(np.cumsum(rowc[:-1]), np.cumsum(colc[:-1]))
+        seq = np.empty(int(cover.max()) + 1, np.float32)
+        seq[0] = np.float32(1e-5)
+        for k in range(1, len(seq)):
+            seq[k] = np.float32(seq[k - 1] + np.float32(num_images))
+        count = seq[cover]
         plans.append(ScalePlan(ts, stride, len(xs), len(ys), offsets, count))
     return tuple(plans)
 
@@ -885,8 +906,14 @@ class ClipSaliency:
             "duplicate tile sizes must use the eager combine path"
         )
         n_unique = len({p.tile_size for p in plans})
+        # n_unique is part of the key: it counts ALL configured tile sizes
+        # (sizes whose crops fit no tiles still inflate the reference's
+        # divisor, __init__.py:148-153) while the rest of the sig only
+        # sees the LIVE plans — two configs with identical live geometry
+        # but different dead crops must not share a combine closure
         sig = (hw, tuple((p.tile_size, p.stride, p.nx, p.ny) for p in flat),
-               tuple(len(g) for g in groups), config.positive_attn_only,
+               tuple(len(g) for g in groups), n_unique,
+               config.positive_attn_only,
                config.horizontal_flipping, config.augmentations,
                num_labels, n_images, bool(self.fuse_scales))
         if sig in self._dispatch_jit:

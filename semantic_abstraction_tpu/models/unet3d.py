@@ -745,7 +745,14 @@ def residual_unet3d(params: dict, x: jax.Array, num_groups: int = 8,
         if i > 0 and not prev_pooled:
             x = max_pool3d(x)
         c = enc["conv1"]["w"].shape[0]
-        use_blocked = _level_is_blocked(i, blocked_levels, c, x.shape[2:])
+        # with blocked_io, level 0's x is ALREADY halved (blocked) — the
+        # blocking decision is about the LOGICAL full-resolution dims
+        # (e.g. 12^3 voxels: full dims pass the >= 8 test, the halved 6^3
+        # must not flip the decision mid-path)
+        spatial = x.shape[2:]
+        if blocked_io and i == 0:
+            spatial = tuple(2 * s for s in spatial)
+        use_blocked = _level_is_blocked(i, blocked_levels, c, spatial)
         blocked_flags.append(use_blocked)
         if use_blocked:
             # plain (EVEN) s2d entry — the ODD basis is only ever reached

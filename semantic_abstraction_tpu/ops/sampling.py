@@ -439,17 +439,29 @@ grid_sample_3d_blocked_cl.defvjp(_grid_sample_blocked_fwd, _grid_sample_blocked_
 
 
 def grid_sample_3d_blocked_cl_chunked(vol_b: jax.Array, coords: jax.Array,
-                                      chunk: int = 1) -> jax.Array:
+                                      chunk: int = 1,
+                                      max_unroll: int = 8) -> jax.Array:
     """Batch-chunked :func:`grid_sample_3d_blocked_cl`: unrolled python
     loop over ``chunk``-sized batch slices (value-identical — the sampler
     is independent per batch row). The full-batch form materializes every
     patch's parity pack at once (~268 MB at the 4-patch train config) and
     measured −10% on the full OVSSC step from the extra memory pressure;
     per-patch chunks keep ONE pack live while avoiding the old lax.map
-    row loop's ~75 ms/step of loop-boundary buffer copies."""
+    row loop's ~75 ms/step of loop-boundary buffer copies. Beyond
+    ``max_unroll`` chunks (e.g. eval's all-classes broadcast with B*Q
+    volumes) a ``lax.map`` traces ONE body instead of b/chunk program
+    copies — the unrolled form's compile size grows linearly with b."""
     b = vol_b.shape[0]
     if b <= chunk or b % chunk != 0:
         return grid_sample_3d_blocked_cl(vol_b, coords)
+    n_chunks = b // chunk
+    if n_chunks > max_unroll:
+        vb = vol_b.reshape(n_chunks, chunk, *vol_b.shape[1:])
+        cb = coords.reshape(n_chunks, chunk, *coords.shape[1:])
+        out = jax.lax.map(
+            lambda args: grid_sample_3d_blocked_cl(*args), (vb, cb)
+        )
+        return out.reshape(b, *out.shape[2:])
     outs = []
     for i in range(0, b, chunk):
         outs.append(grid_sample_3d_blocked_cl(

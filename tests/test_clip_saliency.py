@@ -325,3 +325,30 @@ def test_gradcam_single_tail_fast_path_matches_general():
                       positive_attn_only=positive, force_general=True)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(gen),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_dead_crop_sizes_inflate_divisor(tiny_saliency):
+    """Reference __init__.py:148-153 divides by len(counts) over ALL
+    configured tile sizes — a crop too large to fit any tile still
+    inflates the divisor. Regression for the dispatch-chain cache: config
+    B shares config A's LIVE plan geometry exactly (same fitting crops),
+    so a cache key that ignores dead crops would silently reuse A's
+    combine divisor for B."""
+    rs = np.random.RandomState(21)
+    img = rs.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+    labels = ["chair", "table"]
+    common = dict(horizontal_flipping=False, augmentations=0)
+    cfg_a = SaliencyConfig(crops=(CropSpec(64, 16), CropSpec(32, 8)),
+                           **common)
+    cfg_b = SaliencyConfig(
+        crops=(CropSpec(64, 16), CropSpec(32, 8), CropSpec(128, 32)),
+        **common)
+    key = jax.random.PRNGKey(0)
+    maps_a, _ = tiny_saliency.get_clip_saliency(
+        img, labels, ["a photo of a {}"], cfg_a, key=key)
+    maps_b, _ = tiny_saliency.get_clip_saliency(
+        img, labels, ["a photo of a {}"], cfg_b, key=key)
+    np.testing.assert_allclose(
+        np.asarray(maps_b), np.asarray(maps_a) * (2.0 / 3.0),
+        rtol=2e-3, atol=1e-6,
+    )

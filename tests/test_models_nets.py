@@ -339,3 +339,41 @@ def test_blocked_basis_forward_equivalence():
     vout_p = np.asarray(semabs_vool_forward(
         vparams, vcfg_p, xyz, tgt, ref, out_pts, rel))
     np.testing.assert_allclose(vout_b, vout_p, atol=2e-4, rtol=2e-4)
+
+
+def test_blocked_basis_12cubed_voxels():
+    """Regression: even voxel dims whose HALF is below the blocked-level
+    minimum (12^3 -> 6^3 after the blocked_io entry) must still run the
+    default-on blocked fast path — the level-0 blocking decision is about
+    the LOGICAL full-resolution dims, not the already-halved input."""
+    import jax
+
+    from semantic_abstraction_tpu.models import (
+        SemAbs3DConfig,
+        init_semabs3d,
+        semabs3d_forward,
+    )
+    from semantic_abstraction_tpu.models.nets import blocked_fast_path
+
+    base = dict(
+        unet_num_channels=16,
+        unet_f_maps=16,
+        unet_num_groups=8,
+        unet_num_levels=2,
+        pts_feat_extractor_hidden_dim=32,
+        unet_batch_chunk=0,
+        unet_remat_policy="full",
+    )
+    cfg_b = SemAbs3DConfig(voxel_shape=(12, 12, 12), **base)
+    cfg_p = SemAbs3DConfig(voxel_shape=(12, 12, 12), blocked_basis=False,
+                           **base)
+    params = init_semabs3d(jax.random.PRNGKey(0), cfg_b)
+    assert blocked_fast_path(params, cfg_b)
+    rs = np.random.RandomState(3)
+    xyz = jnp.asarray(rs.uniform(-1.2, 2.1, (1, 256, 3)).astype(np.float32))
+    feats = jnp.asarray(rs.randn(1, 2, 256, 1).astype(np.float32))
+    out_pts = jnp.asarray(
+        rs.uniform(-1.2, 2.1, (1, 2, 512, 3)).astype(np.float32))
+    out_b = np.asarray(semabs3d_forward(params, cfg_b, xyz, feats, out_pts))
+    out_p = np.asarray(semabs3d_forward(params, cfg_p, xyz, feats, out_pts))
+    np.testing.assert_allclose(out_b, out_p, atol=2e-5, rtol=2e-5)

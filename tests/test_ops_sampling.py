@@ -248,3 +248,31 @@ def test_grid_sample_blocked_border_and_interior_exact():
         np.asarray(grid_sample_3d_cl(vol_cl, coords)),
         atol=1e-6, rtol=1e-6,
     )
+
+
+def test_blocked_chunked_sampler_map_path_matches_dense():
+    """grid_sample_3d_blocked_cl_chunked's lax.map fallback (more than
+    max_unroll chunks — eval's all-classes broadcast regime) equals the
+    dense channel-last sampler, values and d(vol)."""
+    from semantic_abstraction_tpu.ops.sampling import (
+        grid_sample_3d_blocked_cl_chunked,
+        grid_sample_3d_cl,
+        space_to_depth_cl,
+    )
+
+    rs = np.random.RandomState(9)
+    b = 12  # > max_unroll=8 chunks at chunk=1
+    vol = jnp.asarray(rs.randn(b, 8, 8, 8, 16).astype(np.float32))
+    vb = space_to_depth_cl(vol)
+    coords = jnp.asarray(rs.uniform(-1, 1, (b, 200, 3)).astype(np.float32))
+    out_m = grid_sample_3d_blocked_cl_chunked(vb, coords)
+    out_d = grid_sample_3d_cl(vol, coords)
+    import jax
+
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_d),
+                               atol=1e-5, rtol=1e-5)
+    g = jnp.asarray(rs.randn(b, 200, 16).astype(np.float32))
+    dm = jax.vjp(lambda v: grid_sample_3d_blocked_cl_chunked(v, coords), vb)[1](g)[0]
+    dd = jax.vjp(lambda v: grid_sample_3d_cl(v, coords), vol)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(space_to_depth_cl(dd)),
+                               np.asarray(dm), atol=1e-4, rtol=1e-4)

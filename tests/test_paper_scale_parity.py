@@ -50,6 +50,10 @@ def test_semabs3d_paper_scale_forward_parity():
         use_pts_feat_extractor=True,
         pts_feat_extractor_hidden_dim=128,
         reduce_method="max",
+        # the paper regime (utils.py:77 default True); the reference
+        # CLASS default is False (net.py:334) — pin it explicitly so both
+        # sides build the 19-in (16ch + xyz) decoder
+        decoder_concat_xyz_pts=True,
         batch_size=1,
         device="cpu",
         unet_num_channels=16,
