@@ -138,6 +138,11 @@ def enable_persistent_compile_cache():
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir:
+            # respect a cache dir the embedding program already chose
+            # (callers of setup_logging get this as a side effect; never
+            # clobber an explicit setting)
+            return
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

@@ -174,7 +174,6 @@ class ScalePlan:
 
 
 @functools.lru_cache(maxsize=64)
-@functools.lru_cache(maxsize=64)
 def tile_plan(hw: Tuple[int, int], crops: Tuple[CropSpec, ...],
               num_images: int) -> Tuple[ScalePlan, ...]:
     """Static crop plan for an (H, W) image (reference create_tiles
@@ -422,8 +421,12 @@ class ClipSaliency:
         self._convolve_jit = {}
         self._group_jit = {}
         self._prep_jit = {}
-        self._combine_jit = {}
         self._dispatch_jit = {}
+        # mono (fuse_scales) programs validated by one blocking 1-element
+        # read — execute-time failures then trigger the chain fallback
+        # instead of surfacing at the caller's readback (ids are stable:
+        # _dispatch_jit holds the cached fns alive)
+        self._validated_mono = set()
         # memo of prompt-ensembled zeroshot weights keyed by (labels,
         # prompts): a dataset sweep / bench loop re-extracts the SAME label
         # set for every image of a scene, and the text stage costs a full
@@ -999,7 +1002,16 @@ class ClipSaliency:
                 if not self.fuse_scales:
                     return fns[0](visual, base_u8, keys, zw)
                 try:
-                    return fns[0](visual, base_u8, keys, zw)
+                    out = fns[0](visual, base_u8, keys, zw)
+                    # jax dispatch is async: an execute-time failure (OOM,
+                    # remote-tunnel error) would otherwise surface at the
+                    # CALLER's readback where no fallback exists. Validate
+                    # each mono program ONCE with a 1-element blocking
+                    # read; later calls skip the sync.
+                    if id(fns[0]) not in self._validated_mono:
+                        np.asarray(jax.device_get(out.ravel()[0]))
+                        self._validated_mono.add(id(fns[0]))
+                    return out
                 except Exception:
                     # a mono program too big for the remote compiler falls
                     # back to the per-group chain (one warning, sticky)

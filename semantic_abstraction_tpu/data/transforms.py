@@ -118,6 +118,13 @@ def weighted_sample(rng: np.random.RandomState, probs: np.ndarray, k: int,
     Raises ValueError like np.random.choice when a no-replacement draw is
     infeasible (k exceeds the number of positive-weight entries), so the
     reference's replace=True fallback (dataset.py:150-156) still engages.
+
+    Determinism is PER ENVIRONMENT, not cross-environment: the native
+    path (alias method / Efraimidis-Spirakis) and this numpy fallback map
+    the same RandomState stream through different algorithms, so a host
+    without a C++ toolchain draws different (equally distributed) indices
+    than one with it. The reference makes no cross-machine guarantee
+    either (np.random.choice's O(n*k) path vs ours already differ).
     """
     probs = np.asarray(probs, np.float64)
     n = len(probs)

@@ -39,7 +39,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib_path = os.path.join(cache_dir, "loader_kernels.so")
     if (not os.path.exists(lib_path)
             or os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
-        base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+        # -ffp-contract=off: the mask kernels promise BIT-IDENTICAL
+        # doubles to their numpy twins (tests/test_native.py); GCC's
+        # default contraction would fuse the camera-transform
+        # multiply-adds into FMAs, which round differently and could flip
+        # a boundary pixel's frustum membership vs the fallback path
+        base = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                "-shared", "-fPIC", "-std=c++17"]
         for flags in (base + ["-fopenmp"], base):
             cmd = flags + [_SRC, "-o", lib_path + ".tmp"]
             try:
