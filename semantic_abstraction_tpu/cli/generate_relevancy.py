@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import logging
 import time
 from pathlib import Path
@@ -40,6 +41,23 @@ DEFAULT_PROMPT = "a photograph of a {} in a home."
 # (matterport/nyu in the path) auto-switch to DEFAULT_PROMPT
 # (reference generate_relevancy.py:154-158)
 THOR_PROMPT = "a render of a {} in a game engine."
+
+
+@functools.lru_cache(maxsize=16)
+def _nearest_exact_device(in_hw, out_hw):
+    """Jitted device-side nearest-exact (..., H, W) -> (..., h, w) resize
+    with torch F.interpolate(mode="nearest-exact") index semantics — the
+    same gather resize_nearest_exact_np performs on host, run BEFORE the
+    D2H transfer so the writer reads back store-resolution maps (4x fewer
+    bytes at the reference's half-res saliency store)."""
+    import jax
+
+    (h, w), (oh, ow) = tuple(in_hw), tuple(out_hw)
+    ri = np.minimum(
+        ((np.arange(oh) + 0.5) * (h / oh)).astype(np.int64), h - 1)
+    ci = np.minimum(
+        ((np.arange(ow) + 0.5) * (w / ow)).astype(np.int64), w - 1)
+    return jax.jit(lambda m: m[..., ri[:, None], ci[None, :]])
 
 
 def build_saliency(args):
@@ -309,6 +327,17 @@ def cmd_dataset(args):
                 continue
             with h5py.File(path, "r") as f:
                 labels = _scene_labels(f)
+                # the store shape is knowable BEFORE dispatch (the datagen
+                # schema preallocates `saliencies`): downsampling to it
+                # ON DEVICE cuts the per-scene readback 4x (the reference
+                # interpolates on-GPU before moving to host,
+                # generate_relevancy.py:96-104)
+                scene_store_shape = (
+                    tuple(f["saliencies"].shape[1:])
+                    if "saliencies" in f
+                    else (tuple(args.store_shape) if args.store_shape
+                          else None)
+                )
                 images = {}
                 for k in present:
                     if k == "rgb":
@@ -336,6 +365,11 @@ def cmd_dataset(args):
                     img, labels, [args.prompt], config,
                     key=jax.random.PRNGKey(args.seed + si),
                 )
+                if (scene_store_shape
+                        and tuple(maps_dev.shape[1:]) != scene_store_shape):
+                    maps_dev = _nearest_exact_device(
+                        tuple(maps_dev.shape[1:]), scene_store_shape
+                    )(maps_dev)
                 try:
                     # start the D2H immediately so the ~5 MB f16 map
                     # transfer rides under the next scene's device compute
