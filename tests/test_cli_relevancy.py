@@ -224,3 +224,22 @@ def test_dataset_sharded_sweep_disjoint_and_complete(tmp_path):
     for i in range(len(names)):
         s = ds[i]
         assert np.isfinite(s["input_feature_pts"]).all()
+
+
+def test_nearest_exact_device_matches_host():
+    """The writer's on-device store-time downsample == the host
+    nearest-exact gather (same indices; pure gather)."""
+    import jax.numpy as jnp
+
+    from semantic_abstraction_tpu.cli.generate_relevancy import (
+        _nearest_exact_device,
+    )
+    from semantic_abstraction_tpu.data.transforms import (
+        resize_nearest_exact_np,
+    )
+
+    rs = np.random.RandomState(13)
+    maps = rs.randn(5, 48, 64).astype(np.float16)
+    dev = np.asarray(_nearest_exact_device((48, 64), (24, 32))(jnp.asarray(maps)))
+    host = resize_nearest_exact_np(maps, (24, 32))
+    np.testing.assert_array_equal(dev, host)
