@@ -285,7 +285,40 @@ def _measure_relevancy(probe):
         np.asarray(pending.popleft())
     compute_rate = k * len(labels) / (time.perf_counter() - t0)
 
-    return k * len(labels) / walls[1], latency, walls, depth, compute_rate
+    # supplementary: the DATASET WRITER's regime — since the writer
+    # downsamples to the store resolution ON DEVICE before readback
+    # (cli/generate_relevancy._nearest_exact_device; the reference
+    # interpolates on-GPU the same way, generate_relevancy.py:96-104),
+    # its per-image readback is store-res (240x320 f16, ~1.4 MB) not
+    # full-res. Clearly labeled — the headline `value` stays the
+    # full-res image-demo regime.
+    from semantic_abstraction_tpu.cli.generate_relevancy import (
+        _nearest_exact_device,
+    )
+
+    ds_resize = _nearest_exact_device((h, w), (h // 2, w // 2))
+    np.asarray(ds_resize(maps))  # compile outside the timing
+    pending = collections.deque()
+    t0 = time.perf_counter()
+    for i in range(k):
+        maps, _ = sal.get_clip_saliency(
+            img, labels, list(HEADLINE_PROMPTS), config,
+            key=jax.random.PRNGKey(950 + i),
+        )
+        m = ds_resize(maps)
+        try:
+            m.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append(m)
+        if len(pending) > depth:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    writer_rate = k * len(labels) / (time.perf_counter() - t0)
+
+    return (k * len(labels) / walls[1], latency, walls, depth, compute_rate,
+            writer_rate)
 
 
 def _measure_train():
@@ -429,8 +462,8 @@ def _child_main():
     print(HEARTBEAT, flush=True)
 
     probe = _probe_with_retry()
-    maps_per_sec, latency, walls, depth, compute_rate = \
-        _measure_relevancy(probe)
+    (maps_per_sec, latency, walls, depth, compute_rate,
+     writer_rate) = _measure_relevancy(probe)
 
     result = {
         "metric": "relevancy_maps_per_sec_per_chip",
@@ -452,6 +485,10 @@ def _child_main():
         # transfer is omitted) — NOT the headline, shows the chip's rate
         # when the tunnel is the binding constraint
         "maps_per_sec_compute_bound": round(compute_rate, 3),
+        # the dataset writer's regime: store-resolution (half-res f16)
+        # readback after the writer's on-device nearest-exact downsample
+        # — the production sweep's actual wire format (NOT the headline)
+        "maps_per_sec_dataset_writer": round(writer_rate, 3),
         # physical wire ceiling of the probed tunnel (bytes/bandwidth):
         # value ~= ceiling means the capture was wire-bound, not chip-bound
         "wire_ceiling_maps_per_sec": round(_wire_ceiling(probe), 2),
