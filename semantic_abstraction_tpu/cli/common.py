@@ -57,6 +57,13 @@ def config_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16",
                    help="device compute dtype (replaces --use_amp)")
+    p.add_argument("--wire_dtype", choices=["float32", "float16"],
+                   default="float32",
+                   help="host->device dtype for coords/relevancy features "
+                        "(float16 narrows the ~30 MB/step 128^3 batch for "
+                        "bandwidth-limited links; 0/1 labels always ship "
+                        "uint8). Default float32 — a real TPU host's PCIe "
+                        "does not need it")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--dr_pos", type=float, default=0.1)
     p.add_argument("--dr_orn", type=float, default=0.3)

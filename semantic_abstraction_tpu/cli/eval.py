@@ -84,6 +84,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import pandas as pd
 
     maybe_initialize_distributed()
@@ -149,6 +150,9 @@ def main(argv=None):
                 voxel_shapes=voxel_shapes,
                 text_encoder=text_encoder, mesh=mesh,
                 max_batches=args.max_batches,
+                wire_dtype=(np.float16
+                            if getattr(args, "wire_dtype", "float32")
+                            == "float16" else None),
             )
             detailed["split"] = split
             detailed["epoch"] = setup["start_epoch"]

@@ -426,6 +426,7 @@ def run_eval_split(
     text_encoder=None,
     mesh=None,
     max_batches: Optional[int] = None,
+    wire_dtype=None,
 ):
     """Eval loop over a split -> (scalar means, detailed-stats DataFrame)."""
     import pandas as pd
@@ -437,7 +438,8 @@ def run_eval_split(
             break
         if jax.process_count() > 1:
             batch = _sync_padded_shapes(batch, task)
-        db = device_batch(batch, task, mesh, text_encoder)
+        db = device_batch(batch, task, mesh, text_encoder,
+                          wire_dtype=wire_dtype)
         aux = eval_step(state.params, db)
         sample_pad_early = np.asarray(
             batch.get("_sample_pad", np.zeros(0, bool))
@@ -538,6 +540,8 @@ def train(
     compute_dtype = (
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     )
+    wire_dtype = (np.float16 if getattr(args, "wire_dtype", "float32")
+                  == "float16" else None)
     train_step = make_train_step(
         forward_loss, cfg, tx, mesh=mesh,
         balance_positive_negative=args.balance_positive_negative,
@@ -641,7 +645,9 @@ def train(
                             jax.profiler.start_trace(profile_dir)
                             profile_active = True
                             profile_stop_at = bi + profile_steps
-                        db = device_batch(batch, task, mesh, text_encoder)
+                        db = device_batch(batch, task, mesh,
+                                          text_encoder,
+                                          wire_dtype=wire_dtype)
                         state, stats = train_step(state, db)
                         if profile_active and bi == profile_stop_at:
                             jax.block_until_ready(stats)
@@ -664,6 +670,7 @@ def train(
                         eval_cutoffs_for(task, False),
                         text_encoder=text_encoder, mesh=mesh,
                         max_batches=max_steps_per_epoch,
+                        wire_dtype=wire_dtype,
                     )
                     if len(detailed):
                         detailed["split"] = split
