@@ -113,16 +113,27 @@ def _tunnel_probe():
     up_mbps = mb / max(min(up_t) - rtt_s, 1e-9)
     # readback: a FRESH device array per rep — jax.Array caches its host
     # copy after the first np.asarray, so re-reading one array measures
-    # nothing (the round-5 first capture recorded 648 GB/s that way)
+    # nothing (the round-5 first capture recorded 648 GB/s that way).
+    # Measured PIPELINED (3 overlapping transfers): single-transfer
+    # bandwidth understates what the pipeline's queued copy_to_host_async
+    # transfers sustain (observed 28.5 maps/s minutes after a 7.2 MB/s
+    # single-transfer probe).
     big = jnp.zeros((int(mb * 1024 * 1024 // 2),), jnp.float16)
     make = jax.jit(lambda b, s: b + s)
     np.asarray(make(big, jnp.float16(0)))  # compile outside the timing
     down_t = []
     for i in range(2):
+        outs = [make(big, jnp.float16(3 * i + j + 1)) for j in range(3)]
         t0 = time.perf_counter()
-        np.asarray(make(big, jnp.float16(i + 1)))
+        for o in outs:
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                pass
+        for o in outs:
+            np.asarray(o)
         down_t.append(time.perf_counter() - t0)
-    down_mbps = mb / max(min(down_t) - rtt_s, 1e-9)
+    down_mbps = 3 * mb / max(min(down_t) - rtt_s, 1e-9)
     return {
         "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
         "tunnel_upload_MBps": round(up_mbps, 1),
