@@ -169,7 +169,10 @@ def _probe_with_retry():
     probe = _tunnel_probe()
     history.append(dict(probe))
     tries = 0
-    while probe["tunnel_readback_MBps"] < 20.0 and tries < 4:
+    # 28 MB/s on the PIPELINED probe scale: a 21 MB/s window measured
+    # 19.9 maps/s (FIFO serialization takes ~35% off the bytes/bandwidth
+    # ceiling), so clearing the 20-maps/s bar wants ~25+ MB/s
+    while probe["tunnel_readback_MBps"] < 28.0 and tries < 4:
         print(f"tunnel probe degraded ({probe}); retrying in 45 s",
               file=sys.stderr, flush=True)
         time.sleep(45)
